@@ -1,0 +1,187 @@
+"""Command-line driver, flag- and output-compatible with the reference
+(src/verletlist/main.c:129-344): same flags, parameter banner, thermo
+rows, and the final System/TOTAL/Performance block, so existing MD-Bench
+result-parsing scripts work unchanged.
+
+Extra flags for TPU-build axes: --scheme, --precision, --kernel, --stub.
+
+Usage:  python -m mdbench_tpu.cli [-p file] [-f lj|eam] [-n 200] ...
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from mdbench_tpu.config import Params, print_parameters, read_parameter_file, str2ff
+from mdbench_tpu.stats import Stats, display_statistics
+
+HLINE = "----------------------------------------------------------------------------\n"
+
+HELP = """MD Bench (TPU): A performance-oriented prototyping harness for MD algorithms
+-p / --params <string>:     file to read parameters from (can be specified more than once)
+-f <string>:                force field (lj or eam), default lj
+-i <string>:                input file with atom positions (dump)
+-e <string>:                input file for EAM
+-n / --nsteps <int>:        set number of timesteps for simulation
+-nx/-ny/-nz <int>:          set linear dimension of systembox in x/y/z direction
+-half <int>:                use half (1) or full (0) neighbor lists
+-r / --radius <real>:       set cutoff radius
+-s / --skin <real>:         set skin (verlet buffer)
+-w <file>:                  write input atoms to file
+--freq <real>:              processor frequency (GHz)
+--vtk <string>:             VTK file for visualization
+--xtc <string>:             XTC trajectory output file
+--scheme <verlet|cluster>:  neighbor scheme (TPU axis; reference OPT_SCHEME)
+--precision <sp|dp>:        floating point precision (reference DATA_TYPE)
+--kernel <auto|xla|pallas>: force-kernel backend
+"""
+
+
+def parse_args(argv) -> Params:
+    """Flag-compatible argument loop (reference: main.c:145-231)."""
+    p = Params()
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+
+        def nxt():
+            nonlocal i
+            i += 1
+            return argv[i]
+
+        if a in ("-p", "--params"):
+            read_parameter_file(p, nxt())
+        elif a == "-f":
+            ff = str2ff(nxt())
+            if ff < 0:
+                sys.stderr.write("Invalid force field!\n")
+                sys.exit(-1)
+            p.force_field = ff
+        elif a == "-i":
+            p.input_file = nxt()
+        elif a == "-e":
+            p.eam_file = nxt()
+        elif a in ("-n", "--nsteps"):
+            p.ntimes = int(nxt())
+        elif a == "-nx":
+            p.nx = int(nxt())
+        elif a == "-ny":
+            p.ny = int(nxt())
+        elif a == "-nz":
+            p.nz = int(nxt())
+        elif a == "-half":
+            p.half_neigh = int(nxt())
+        elif a in ("-r", "--radius"):
+            p.cutforce = float(nxt())
+        elif a in ("-s", "--skin"):
+            p.skin = float(nxt())
+        elif a == "--freq":
+            p.proc_freq = float(nxt())
+        elif a == "--vtk":
+            p.vtk_file = nxt()
+        elif a == "--xtc":
+            p.xtc_file = nxt()
+        elif a == "-w":
+            p.write_atom_file = nxt()
+        elif a == "--scheme":
+            p.scheme = nxt()
+        elif a == "--precision":
+            p.precision = nxt()
+        elif a == "--kernel":
+            p.kernel = nxt()
+        elif a in ("-h", "--help"):
+            print(HELP)
+            sys.exit(0)
+        i += 1
+    p.finalize()
+    return p
+
+
+def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    params = parse_args(argv)
+
+    if params.precision == "dp":
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
+
+    from mdbench_tpu.engine import Simulation
+
+    sim = Simulation(params)
+    print(print_parameters(params))
+    sys.stdout.write(HLINE)
+    print("step\ttemp\t\tpressure")
+
+    state0 = sim.initial_state()
+    from mdbench_tpu.thermo import compute_thermo
+
+    t0v, p0v = compute_thermo(state0.v, sim.nlocal, params.mass, sim.scales)
+    print("%i\t%e\t%e" % (0, float(t0v), float(p0v)))
+
+    if params.write_atom_file:
+        from mdbench_tpu.io.writers import write_atom
+
+        write_atom(params.write_atom_file, sim, state0)
+
+    out = sim.run()
+
+    # thermo rows at nstat cadence (reference: main.c:275-280, 289)
+    for n in range(params.nstat, params.ntimes, params.nstat):
+        print("%i\t%e\t%e" % (n, out.temps[n - 1], out.press[n - 1]))
+    print(
+        "%i\t%e\t%e"
+        % (params.ntimes, out.temps[-1], out.press[-1])
+    )
+
+    nghost = int(out.state.halo.nghost)
+    t_force, t_neigh = sim.measure_phases(out.state)
+    force_total = t_force * (params.ntimes + 1)
+    neigh_total = t_neigh * (params.ntimes // params.reneigh_every)
+
+    sys.stdout.write(HLINE)
+    print(
+        "System: %d atoms %d ghost atoms, Steps: %d"
+        % (sim.natoms, nghost, params.ntimes)
+    )
+    print(
+        "TOTAL %.2fs FORCE %.2fs NEIGH %.2fs REST %.2fs"
+        % (
+            out.total_time,
+            force_total,
+            neigh_total,
+            max(out.total_time - force_total - neigh_total, 0.0),
+        )
+    )
+    sys.stdout.write(HLINE)
+    print(
+        "Performance: %.2f million atom updates per second"
+        % (1e-6 * sim.natoms * params.ntimes / out.total_time)
+    )
+
+    if params.compute_stats:
+        stats = Stats()
+        numneigh = np.asarray(out.state.nlist.numneigh[: sim.nlocal])
+        # approximate: final list's counts, applied to all evaluations
+        stats.accumulate_list(numneigh, params.ntimes + 1)
+        float_size = 8 if params.precision == "dp" else 4
+        print(
+            display_statistics(
+                stats, sim.nlocal, params.ntimes, force_total,
+                params.proc_freq, float_size,
+            )
+        )
+
+    if params.vtk_file:
+        from mdbench_tpu.io.vtk import write_atoms_to_vtk_file
+
+        write_atoms_to_vtk_file(
+            params.vtk_file, np.asarray(out.state.x[: sim.nlocal]), params.ntimes
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,346 @@
+"""The simulation engine: setup, the jitted timestep loop, reneighboring.
+
+Driver-loop parity (reference: src/verletlist/main.c:129-344):
+
+  setup -> thermo(0) -> force(step 0) ->
+  loop n = 0..ntimes-1:
+      initialIntegrate
+      (n+1) % reneigh_every == 0 ? reneighbour : updatePbc
+      computeForce
+      finalIntegrate
+      thermo at (n+1) % nstat == 0
+  -> thermo(ntimes)
+
+TPU-native structure: the WHOLE loop — including reneighboring — is one
+jitted `lax.scan`; reneighbor steps take a `lax.cond` branch that wraps
+atoms, rebuilds the halo, re-bins, and rebuilds the neighbor list
+entirely on device. There are zero host round-trips inside a run;
+capacity-overflow flags are accumulated in the carry and checked once
+at the end (on overflow the host grows capacities and re-runs — the
+reference's RESIZE/realloc loops, amortized to whole-run granularity).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mdbench_tpu.config import FF_EAM, FF_LJ, Params
+from mdbench_tpu.models.lattice import create_fcc_lattice
+from mdbench_tpu.ops import lj as lj_ops
+from mdbench_tpu.ops.cells import CellGrid, build_cells, make_cell_grid, sort_atoms_host
+from mdbench_tpu.ops.integrate import (
+    final_integrate,
+    initial_integrate,
+    wrap_into_box,
+)
+from mdbench_tpu.ops.pbc import ghost_types, setup_pbc, update_pbc
+from mdbench_tpu.ops.verlet import build_neighbors
+from mdbench_tpu.state import SENTINEL_COORD, Halo, NeighborList
+from mdbench_tpu.thermo import (
+    ThermoScales,
+    adjust_thermo,
+    adjusted_dtforce,
+    compute_thermo,
+    setup_thermo,
+)
+
+
+class Capacities(NamedTuple):
+    """Padded array sizes; growing any of these forces a retrace
+    (the TPU analogue of the reference's realloc events)."""
+
+    nlocal_pad: int
+    ghost: int
+    maxneighs: int
+    cell: int
+
+
+class StepState(NamedTuple):
+    """Carry of the step scan."""
+
+    x: jnp.ndarray
+    v: jnp.ndarray
+    f: jnp.ndarray
+    types: jnp.ndarray
+    halo: Halo
+    nlist: NeighborList
+    overflow: jnp.ndarray  # () bool, accumulated
+
+
+class RunResult(NamedTuple):
+    temps: np.ndarray  # (ntimes,) temperature after each step
+    press: np.ndarray  # (ntimes,)
+    state: StepState
+    total_time: float
+    force_time: float
+    neigh_time: float
+
+
+def _estimate_maxneighs(params: Params) -> int:
+    """Density-based neighbor estimate: atoms in the cutneigh sphere,
+    with headroom; at least the reference default of 100
+    (neighbor.c:59)."""
+    vol = 4.0 / 3.0 * np.pi * params.cutneigh**3
+    est = int(np.ceil(vol * params.rho * 1.25))
+    if params.half_neigh:
+        est = int(np.ceil(est * 0.6))
+    return max(params.maxneighs, ((est + 7) // 8) * 8)
+
+
+def _estimate_ghost_capacity(params: Params, nlocal: int) -> int:
+    c = params.cutneigh
+    fx = 1.0 + 2.0 * c / params.xprd
+    fy = 1.0 + 2.0 * c / params.yprd
+    fz = 1.0 + 2.0 * c / params.zprd
+    est = int(np.ceil(nlocal * (fx * fy * fz - 1.0) * 1.5)) + 64
+    return ((est + 7) // 8) * 8
+
+
+class Simulation:
+    """End-to-end MD simulation on one chip (multi-chip: parallel/)."""
+
+    def __init__(
+        self,
+        params: Params,
+        x: Optional[np.ndarray] = None,
+        v: Optional[np.ndarray] = None,
+        types: Optional[np.ndarray] = None,
+        adjust: Optional[bool] = None,
+    ):
+        self.params = params
+        if x is None:
+            x, v, types = create_fcc_lattice(params)
+            if adjust is None:
+                adjust = True  # reference adjusts only generated systems
+        self.natoms = x.shape[0]
+        self.nlocal = x.shape[0]
+        self.scales: ThermoScales = setup_thermo(params, self.natoms)
+        self.dtforce = adjusted_dtforce(params, self.scales)
+        if adjust:
+            v = adjust_thermo(params, self.scales, v, self.natoms)
+        if types is None:
+            types = np.zeros(self.nlocal, np.int32)
+
+        prd = np.array([params.xprd, params.yprd, params.zprd])
+        self.grid: CellGrid = make_cell_grid(
+            prd, params.cutneigh, params.rho, 0
+        )
+        if params.sort_atoms:
+            perm = sort_atoms_host(self.grid, x)
+            x, v, types = x[perm], v[perm], types[perm]
+        self._x0, self._v0, self._types0 = x, v, types
+
+        self.caps = Capacities(
+            nlocal_pad=((self.nlocal + 255) // 256) * 256,
+            ghost=_estimate_ghost_capacity(params, self.nlocal),
+            maxneighs=_estimate_maxneighs(params),
+            cell=self.grid.capacity,
+        )
+        self._build_device_state()
+
+    # -- state assembly ---------------------------------------------------
+
+    def _build_device_state(self):
+        p, caps = self.params, self.caps
+        dtype = p.dtype
+        self.grid = self.grid._replace(capacity=caps.cell)
+        nrows = caps.nlocal_pad + caps.ghost + 1
+        xp = np.full((nrows, 3), SENTINEL_COORD, np.float64)
+        xp[: self.nlocal] = self._x0
+        vp = np.zeros((caps.nlocal_pad, 3), np.float64)
+        vp[: self.nlocal] = self._v0
+        tp = np.zeros(nrows, np.int32)
+        tp[: self.nlocal] = self._types0
+
+        self.x0 = jnp.asarray(xp, dtype)
+        self.v0 = jnp.asarray(vp, dtype)
+        self.types0 = jnp.asarray(tp)
+
+        nt = p.ntypes
+        if nt == 1:
+            self.tables = None
+            self.cutforcesq = p.cutforce**2
+            self.cutneighsq = p.cutneigh**2
+        else:
+            from mdbench_tpu.state import TypeTables
+
+            self.tables = TypeTables(
+                types=self.types0,
+                epsilon=jnp.full((nt, nt), p.epsilon, dtype),
+                sigma6=jnp.full((nt, nt), p.sigma6, dtype),
+                cutforcesq=jnp.full((nt, nt), p.cutforce**2, dtype),
+                cutneighsq=jnp.full((nt, nt), p.cutneigh**2, dtype),
+            )
+            self.cutforcesq = self.tables.cutforcesq
+            self.cutneighsq = self.tables.cutneighsq
+        self.prd = np.array([p.xprd, p.yprd, p.zprd])
+
+    # -- device-side phases ------------------------------------------------
+
+    def _reneighbor(self, x, v, types):
+        """Wrap atoms, rebuild halo + ghosts + cells + neighbor list.
+        (reference reneighbour(), main.c:76-95). Pure function of state."""
+        p, caps = self.params, self.caps
+        x = wrap_into_box(x, self.prd, self.nlocal)
+        halo = setup_pbc(
+            x, self.nlocal, caps.nlocal_pad, caps.ghost, self.prd,
+            (p.pbc_x, p.pbc_y, p.pbc_z), p.cutneigh,
+        )
+        types = ghost_types(types, halo, caps.nlocal_pad)
+        x = update_pbc(x, halo, caps.nlocal_pad)
+        cl = build_cells(self.grid, x)
+        nlist = build_neighbors(
+            self.grid, cl, x, types,
+            self.cutneighsq if self.tables is None else self.tables.cutneighsq,
+            self.nlocal, caps.nlocal_pad, caps.maxneighs,
+            half=bool(p.half_neigh),
+        )
+        overflow = halo.overflow | nlist.overflow
+        return x, types, halo, nlist, overflow
+
+    def _force(self, x, types, nlist):
+        p, caps = self.params, self.caps
+        if p.force_field == FF_LJ:
+            if p.half_neigh:
+                return lj_ops.compute_force_lj_half(
+                    x, nlist.neighbors, nlist.numneigh, self.nlocal,
+                    caps.nlocal_pad, self.cutforcesq, p.sigma6, p.epsilon,
+                    types=types, tables=self.tables,
+                )
+            return lj_ops.compute_force_lj_full(
+                x, nlist.neighbors, nlist.numneigh, caps.nlocal_pad,
+                self.cutforcesq, p.sigma6, p.epsilon,
+                types=types, tables=self.tables,
+            )
+        elif p.force_field == FF_EAM:
+            raise NotImplementedError("EAM lands in ops/eam.py (milestone 3)")
+        raise ValueError("unknown force field")
+
+    # -- the jitted run ----------------------------------------------------
+
+    def _make_run_fn(self):
+        p = self.params
+        dt, dtforce = p.dt, self.dtforce
+        nlocal = self.nlocal
+        caps = self.caps
+        mass, scales = p.mass, self.scales
+
+        def step(state: StepState, is_reneigh):
+            x, v = initial_integrate(state.x, state.v, state.f, dt, dtforce, nlocal)
+
+            def do_reneigh(x, types):
+                return self._reneighbor(x, v, types)
+
+            def no_reneigh(x, types):
+                x = update_pbc(x, state.halo, caps.nlocal_pad)
+                return x, types, state.halo, state.nlist, jnp.asarray(False)
+
+            x, types, halo, nlist, ovf = jax.lax.cond(
+                is_reneigh, do_reneigh, no_reneigh, x, state.types
+            )
+            f = self._force(x, types, nlist)
+            v = final_integrate(v, f, dtforce, nlocal)
+            t, pr = compute_thermo(v, nlocal, mass, scales)
+            new_state = StepState(
+                x=x, v=v, f=f, types=types, halo=halo, nlist=nlist,
+                overflow=state.overflow | ovf,
+            )
+            return new_state, (t, pr)
+
+        def run(state: StepState, reneigh_flags):
+            return jax.lax.scan(step, state, reneigh_flags)
+
+        return jax.jit(run, donate_argnums=(0,))
+
+    def _initial_state(self, x0, v0, types0) -> StepState:
+        """Setup-equivalent state: ghosts + lists built, step-0 forces
+        computed (reference: setup() + first computeForce, main.c:234-250).
+        """
+        x, types, halo, nlist, ovf = self._reneighbor(x0, v0, types0)
+        f = self._force(x, types, nlist)
+        return StepState(
+            x=x, v=v0, f=f, types=types, halo=halo, nlist=nlist, overflow=ovf
+        )
+
+    def initial_state(self) -> StepState:
+        return jax.jit(self._initial_state)(self.x0, self.v0, self.types0)
+
+    def run(self, ntimes: Optional[int] = None, max_retries: int = 3) -> RunResult:
+        p = self.params
+        ntimes = p.ntimes if ntimes is None else ntimes
+        flags = np.arange(1, ntimes + 1) % p.reneigh_every == 0
+
+        for attempt in range(max_retries + 1):
+            state0 = self.initial_state()
+            jax.block_until_ready(state0)
+            run_fn = self._make_run_fn()
+            flags_dev = jnp.asarray(flags)
+            # AOT-compile so the timed region is pure execution, matching
+            # the reference timer protocol (main.c:250-287).
+            compiled = run_fn.lower(state0, flags_dev).compile()
+            t0 = time.perf_counter()
+            state, (temps, press) = compiled(state0, flags_dev)
+            jax.block_until_ready(state)
+            total = time.perf_counter() - t0
+
+            if not bool(state.overflow):
+                return RunResult(
+                    temps=np.asarray(temps),
+                    press=np.asarray(press),
+                    state=state,
+                    total_time=total,
+                    force_time=float("nan"),
+                    neigh_time=float("nan"),
+                )
+            # Grow capacities and retry (reference RESIZE semantics).
+            self.caps = self.caps._replace(
+                ghost=int(self.caps.ghost * 1.5),
+                maxneighs=int(self.caps.maxneighs * 1.3) // 8 * 8 + 8,
+                cell=int(self.caps.cell * 1.5) // 8 * 8 + 8,
+            )
+            self._build_device_state()
+        raise RuntimeError("capacity overflow persisted after retries")
+
+    def measure_phases(self, state: StepState, reps: int = 20):
+        """Out-of-band FORCE / NEIGH phase timing.
+
+        The production path fuses the whole run into one program with no
+        phase boundaries, so the reference's per-call timers
+        (main.c:250-287) are reproduced by timing the jitted phase
+        functions standalone on a representative state.
+        Returns (force_seconds_per_call, reneigh_seconds_per_call).
+        """
+        force_fn = jax.jit(
+            lambda x, types, nlist: self._force(x, types, nlist)
+        )
+        reneigh_fn = jax.jit(
+            lambda x, v, types: self._reneighbor(x, v, types)
+        )
+        f = force_fn(state.x, state.types, state.nlist)
+        jax.block_until_ready(f)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            f = force_fn(state.x, state.types, state.nlist)
+        jax.block_until_ready(f)
+        t_force = (time.perf_counter() - t0) / reps
+
+        r = reneigh_fn(state.x, self.v0, state.types)
+        jax.block_until_ready(r)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            r = reneigh_fn(state.x, self.v0, state.types)
+        jax.block_until_ready(r)
+        t_neigh = (time.perf_counter() - t0) / reps
+        return t_force, t_neigh
+
+    # Convenience for tests ------------------------------------------------
+
+    def first_force(self) -> np.ndarray:
+        state = self.initial_state()
+        return np.asarray(state.f[: self.nlocal])

@@ -1,0 +1,138 @@
+"""Device-side cell binning.
+
+The reference bins atoms into a 3-D grid covering the box plus a ghost
+halo, with a fixed atoms-per-bin capacity and a resize loop
+(reference: src/verletlist/neighbor.c:64-184 setupNeighbor,
+neighbor.c:298-358 coord2bin/binatoms). TPU version: one argsort by bin
+id + a ranked scatter produces the whole (nbins, capacity) cell table in
+a few fused XLA ops; capacity overflow raises a flag the host handles by
+growing and retracing (the analogue of the reference's resize loop).
+
+Geometry differs deliberately from the reference (which targets cache
+blocking): we use bins of edge >= cutneigh so a fixed 3x3x3 stencil
+suffices, with exactly one margin ring of bins holding ghost atoms.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from mdbench_tpu.state import SENTINEL_COORD
+
+
+class CellGrid(NamedTuple):
+    """Static bin geometry (host-computed once per run)."""
+
+    nbins_interior: tuple  # (nbx, nby, nbz) bins covering the box
+    dims: tuple  # grid dims incl. one margin ring: (nbx+2, nby+2, nbz+2)
+    binsize: tuple  # (bsx, bsy, bsz), each >= cutneigh
+    capacity: int  # atoms per bin (padded)
+    prd: tuple
+
+    @property
+    def nbins(self) -> int:
+        d = self.dims
+        return d[0] * d[1] * d[2]
+
+    @property
+    def stencil(self) -> np.ndarray:
+        """Flat offsets of the 27-bin stencil."""
+        _, ny, nz = self.dims
+        offs = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for dz in (-1, 0, 1):
+                    offs.append((dx * ny + dy) * nz + dz)
+        return np.array(offs, dtype=np.int32)
+
+
+def make_cell_grid(prd, cutneigh: float, rho: float, capacity: int = 0) -> CellGrid:
+    """Choose bin geometry: bins no smaller than cutneigh so the 27-bin
+    stencil is sufficient, one margin ring for ghosts."""
+    nb = [max(1, int(math.floor(p / cutneigh))) for p in prd]
+    bs = [p / n for p, n in zip(prd, nb)]
+    if capacity <= 0:
+        # expected atoms per bin x 1.75 safety, rounded up to 8
+        mean = rho * bs[0] * bs[1] * bs[2]
+        capacity = int(math.ceil(mean * 1.75 / 8.0)) * 8
+    return CellGrid(
+        nbins_interior=tuple(nb),
+        dims=tuple(n + 2 for n in nb),
+        binsize=tuple(bs),
+        capacity=capacity,
+        prd=tuple(prd),
+    )
+
+
+def coord_to_bin(grid: CellGrid, x: jnp.ndarray) -> jnp.ndarray:
+    """Flat bin id per atom row (reference coord2bin, neighbor.c:298-327).
+
+    Rows with sentinel coordinates (padding) map to the trap bin
+    `grid.nbins` which the stencil never reads. Valid coordinates lie in
+    [-cutneigh, prd + cutneigh) and land in [0, dims) after the +1 margin
+    shift; anything else is clipped into the margin ring (a ghost exactly
+    on the outer boundary still participates correctly).
+    """
+    bs = jnp.asarray(grid.binsize, x.dtype)
+    dims = jnp.asarray(grid.dims, jnp.int32)
+    b = jnp.floor(x / bs).astype(jnp.int32) + 1
+    b = jnp.clip(b, 0, dims - 1)
+    flat = (b[:, 0] * grid.dims[1] + b[:, 1]) * grid.dims[2] + b[:, 2]
+    invalid = jnp.abs(x[:, 0]) >= SENTINEL_COORD * 0.5
+    return jnp.where(invalid, grid.nbins, flat)
+
+
+class CellList(NamedTuple):
+    cells: jnp.ndarray  # (nbins + 1, capacity) int32 atom row indices
+    bin_of: jnp.ndarray  # (nrows,) int32 flat bin id per atom row
+    overflow: jnp.ndarray  # () bool
+
+
+def build_cells(grid: CellGrid, x: jnp.ndarray) -> CellList:
+    """Bin all rows of x (locals + ghosts + padding) into the cell table.
+
+    Sort-based: argsort by bin id, rank within bin via searchsorted,
+    ranked scatter. Deterministic: within a bin, atoms appear in row
+    order (argsort is stable), mirroring the reference's sequential
+    binatoms fill order (neighbor.c:329-358).
+    """
+    nrows = x.shape[0]
+    sentinel_row = nrows - 1
+    ids = coord_to_bin(grid, x)
+    order = jnp.argsort(ids)  # stable
+    sorted_ids = ids[order]
+    starts = jnp.searchsorted(sorted_ids, jnp.arange(grid.nbins + 1, dtype=ids.dtype))
+    rank = jnp.arange(nrows, dtype=jnp.int32) - starts[sorted_ids].astype(jnp.int32)
+
+    valid = sorted_ids < grid.nbins
+    in_cap = rank < grid.capacity
+    overflow = jnp.any(valid & ~in_cap)
+
+    flat_pos = jnp.where(
+        valid & in_cap,
+        sorted_ids.astype(jnp.int32) * grid.capacity + rank,
+        (grid.nbins + 1) * grid.capacity,  # dropped
+    )
+    cells = jnp.full(((grid.nbins + 1) * grid.capacity,), sentinel_row, jnp.int32)
+    cells = cells.at[flat_pos].set(order.astype(jnp.int32), mode="drop")
+    return CellList(
+        cells=cells.reshape(grid.nbins + 1, grid.capacity),
+        bin_of=ids.astype(jnp.int32),
+        overflow=overflow,
+    )
+
+
+def sort_atoms_host(grid: CellGrid, x: np.ndarray):
+    """Spatial sort permutation by bin id (reference sortAtom,
+    neighbor.c:360-426). Host-side, used at setup; improves gather
+    locality of every later device kernel."""
+    bs = np.asarray(grid.binsize)
+    b = np.floor(x / bs).astype(np.int64) + 1
+    dims = np.asarray(grid.dims)
+    b = np.clip(b, 0, dims - 1)
+    flat = (b[:, 0] * grid.dims[1] + b[:, 1]) * grid.dims[2] + b[:, 2]
+    return np.argsort(flat, kind="stable")

@@ -1,0 +1,108 @@
+"""Ghost-atom (PBC halo) machinery, fully on device.
+
+The reference walks local atoms appending up to 7 periodic images each
+(faces/edges/corners) into border_map + PBC shift arrays
+(reference: src/verletlist/pbc.c:90-227 setupPbc), then refreshes ghost
+coordinates every step (pbc.c:42-55 updatePbc). TPU version: the 26
+candidate shifts are tested for all atoms at once; valid (atom, shift)
+pairs are compacted by a cumsum + scatter into fixed-capacity halo
+arrays. The per-step refresh is a single gather + add that fuses into
+the step scan.
+
+This same border_map/shift structure generalizes to the multi-chip halo
+exchange (parallel/), where the gather crosses chip boundaries via
+collectives instead of staying local.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from mdbench_tpu.state import Halo
+
+# All 26 nonzero shift combinations, canonical order.
+_SHIFTS = np.array(
+    [
+        (sx, sy, sz)
+        for sx in (-1, 0, 1)
+        for sy in (-1, 0, 1)
+        for sz in (-1, 0, 1)
+        if (sx, sy, sz) != (0, 0, 0)
+    ],
+    dtype=np.int32,
+)
+
+
+def setup_pbc(
+    x: jnp.ndarray,
+    nlocal: int,
+    nlocal_pad: int,
+    ghost_capacity: int,
+    prd,
+    pbc,
+    cutneigh: float,
+) -> Halo:
+    """Build the halo map (reference setupPbc semantics, pbc.c:90-227).
+
+    A shift s is valid for atom i iff per dimension d:
+      s_d = +1 -> x_d <  cutneigh          (image appears at x + prd)
+      s_d = -1 -> x_d >= prd_d - cutneigh  (image appears at x - prd)
+      s_d =  0 -> always
+    and every dimension with s_d != 0 has PBC enabled. Ghost order is
+    (atom-major, canonical shift order) — a different enumeration order
+    than the reference, which only permutes ghost indices.
+    """
+    dtype = x.dtype
+    xl = x[:nlocal]
+    prd_v = jnp.asarray(prd, dtype)
+    pbc_v = np.asarray(pbc, np.int32)
+
+    lo = xl < cutneigh  # (nlocal, 3)
+    hi = xl >= (prd_v - cutneigh)
+
+    shifts = jnp.asarray(_SHIFTS)  # (26, 3)
+    pbc_ok = np.all((np.abs(_SHIFTS) == 0) | (pbc_v[None, :] != 0), axis=1)
+    pbc_ok = jnp.asarray(pbc_ok)  # (26,)
+
+    pos_ok = jnp.where(shifts[None, :, :] == 1, lo[:, None, :], True)
+    neg_ok = jnp.where(shifts[None, :, :] == -1, hi[:, None, :], True)
+    valid = jnp.all(pos_ok & neg_ok, axis=2) & pbc_ok[None, :]  # (nlocal, 26)
+
+    flat_valid = valid.reshape(-1)
+    pos = jnp.cumsum(flat_valid) - 1
+    nghost = jnp.sum(flat_valid).astype(jnp.int32)
+    overflow = nghost > ghost_capacity
+
+    atom_ids = jnp.broadcast_to(
+        jnp.arange(nlocal, dtype=jnp.int32)[:, None], (nlocal, 26)
+    ).reshape(-1)
+    shift_vec = jnp.broadcast_to(
+        (shifts.astype(dtype) * prd_v)[None, :, :], (nlocal, 26, 3)
+    ).reshape(-1, 3)
+
+    pos = jnp.where(flat_valid & (pos < ghost_capacity), pos, ghost_capacity)
+    sentinel_row = x.shape[0] - 1
+    border_map = jnp.full((ghost_capacity,), sentinel_row, jnp.int32)
+    border_map = border_map.at[pos].set(atom_ids, mode="drop")
+    shift = jnp.zeros((ghost_capacity, 3), dtype)
+    shift = shift.at[pos].set(shift_vec, mode="drop")
+
+    return Halo(border_map=border_map, shift=shift, nghost=nghost, overflow=overflow)
+
+
+def update_pbc(x: jnp.ndarray, halo: Halo, nlocal_pad: int) -> jnp.ndarray:
+    """Refresh ghost coordinates from their owners
+    (reference updatePbc, pbc.c:42-55): one gather + add.
+    Padded halo slots point at the sentinel row (shift 0) and stay inert.
+    """
+    ghost_x = x[halo.border_map] + halo.shift
+    gcap = halo.border_map.shape[0]
+    return x.at[nlocal_pad : nlocal_pad + gcap].set(ghost_x)
+
+
+def ghost_types(types: jnp.ndarray, halo: Halo, nlocal_pad: int) -> jnp.ndarray:
+    """Propagate atom types to ghost slots (reference ADDGHOST
+    type copy, pbc.c:90-97)."""
+    gcap = halo.border_map.shape[0]
+    return types.at[nlocal_pad : nlocal_pad + gcap].set(types[halo.border_map])

@@ -1,0 +1,83 @@
+"""Verlet neighbor-list construction on device.
+
+The reference scans, per local atom, the 3-D bin stencil and appends
+in-range atom ids to a fixed-width row, with a grow-and-retry loop on
+overflow (reference: src/verletlist/neighbor.c:186-264). TPU version:
+the stencil gather is batched over chunks of atoms (lax.map keeps the
+peak intermediate at chunk x stencil x capacity), candidates are
+masked by cutneigh / self / half-list rules, and each row is compacted
+by a cumsum + ranked scatter into the padded (nlocal_pad, maxneighs)
+list. Overflow raises a flag; the host grows maxneighs and retraces
+(the reference's RESIZE loop, neighbor.c:247-262).
+
+Half-list rule (reference: neighbor.c:223-225): skip j < i. Ghost rows
+sit above nlocal_pad so they are always retained, matching the
+reference where ghosts live above Nlocal.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from mdbench_tpu.ops.cells import CellGrid, CellList
+from mdbench_tpu.state import NeighborList
+
+
+def build_neighbors(
+    grid: CellGrid,
+    cl: CellList,
+    x: jnp.ndarray,
+    types: jnp.ndarray,
+    cutneighsq,  # scalar (ntypes==1) or (ntypes, ntypes) table
+    nlocal: int,
+    nlocal_pad: int,
+    maxneighs: int,
+    half: bool,
+    chunk: int = 2048,
+) -> NeighborList:
+    nrows = x.shape[0]
+    sentinel_row = nrows - 1
+    while nlocal_pad % chunk != 0:
+        chunk //= 2
+    assert chunk >= 1
+    stencil = jnp.asarray(grid.stencil)  # (27,)
+    # A safe interior bin for padded rows (its results are masked out).
+    d = grid.dims
+    safe_bin = (1 * d[1] + 1) * d[2] + 1
+    typed = cutneighsq.ndim == 2 if hasattr(cutneighsq, "ndim") else False
+
+    def chunk_fn(start):
+        i_idx = start + jnp.arange(chunk, dtype=jnp.int32)
+        is_real = i_idx < nlocal
+        i_safe = jnp.where(is_real, i_idx, 0)
+        ib = jnp.where(is_real, cl.bin_of[i_safe], safe_bin)
+        cand_bins = ib[:, None] + stencil[None, :]  # (chunk, 27)
+        cand = cl.cells[cand_bins].reshape(chunk, -1)  # (chunk, C)
+        xi = x[i_safe]
+        xj = x[cand]
+        delta = xi[:, None, :] - xj
+        rsq = jnp.sum(delta * delta, axis=-1)
+        if typed:
+            cut = cutneighsq[types[i_safe][:, None], types[cand]]
+        else:
+            cut = cutneighsq
+        mask = (rsq <= cut) & (cand != i_idx[:, None]) & is_real[:, None]
+        mask &= cand != sentinel_row
+        if half:
+            mask &= cand > i_idx[:, None]
+
+        nn = jnp.sum(mask, axis=1).astype(jnp.int32)
+        pos = jnp.cumsum(mask, axis=1) - 1
+        pos = jnp.where(mask & (pos < maxneighs), pos, maxneighs)
+        rows = jnp.arange(chunk, dtype=jnp.int32)[:, None]
+        neigh = jnp.full((chunk, maxneighs), sentinel_row, jnp.int32)
+        neigh = neigh.at[rows, pos].set(cand, mode="drop")
+        return neigh, nn
+
+    starts = jnp.arange(0, nlocal_pad, chunk, dtype=jnp.int32)
+    neighs, nns = jax.lax.map(chunk_fn, starts)
+    neighbors = neighs.reshape(nlocal_pad, maxneighs)
+    numneigh = nns.reshape(nlocal_pad)
+    overflow = jnp.any(numneigh > maxneighs) | cl.overflow
+    return NeighborList(neighbors=neighbors, numneigh=numneigh, overflow=overflow)

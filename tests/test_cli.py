@@ -1,0 +1,52 @@
+"""CLI driver: flag parsing and end-to-end output format."""
+
+import subprocess
+import sys
+
+import numpy as np
+
+from mdbench_tpu.cli import parse_args
+
+
+def test_parse_args_reference_flags():
+    p = parse_args(
+        "-f lj -n 50 -nx 4 -ny 5 -nz 6 -half 1 -r 3.0 -s 0.4 --freq 3.0".split()
+    )
+    assert p.force_field == 0
+    assert p.ntimes == 50
+    assert (p.nx, p.ny, p.nz) == (4, 5, 6)
+    assert p.half_neigh == 1
+    assert p.cutforce == 3.0
+    assert p.skin == 0.4
+    assert p.cutneigh == 3.4
+    assert p.proc_freq == 3.0
+
+
+def test_parse_args_tpu_axes():
+    p = parse_args("--scheme cluster --precision sp --kernel pallas".split())
+    assert p.scheme == "cluster"
+    assert p.precision == "sp"
+    assert p.kernel == "pallas"
+
+
+def test_cli_end_to_end_output_block():
+    env_code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import sys; from mdbench_tpu.cli import main;"
+        "sys.exit(main(['-nx','3','-ny','3','-nz','3','-n','10',"
+        "'--precision','sp']))"
+    )
+    res = subprocess.run(
+        [sys.executable, "-c", env_code],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert res.returncode == 0, res.stderr
+    out = res.stdout
+    assert "Parameters:" in out
+    assert "step\ttemp\t\tpressure" in out
+    assert "System: 108 atoms" in out
+    assert "million atom updates per second" in out
+    assert "TOTAL" in out and "FORCE" in out and "NEIGH" in out
+    # thermo row for step 0 must show the target temperature
+    row0 = [l for l in out.splitlines() if l.startswith("0\t")][0]
+    assert abs(float(row0.split("\t")[1]) - 1.44) < 1e-5

@@ -1,0 +1,404 @@
+"""Cluster-pair scheme simulation engine (reference: src/clusterpair/
+main.c) — same driver-loop semantics as engine.Simulation but all state
+lives in cluster layout between reneighbor events:
+
+  reneighbor (every reneigh_every steps, all on device):
+    scatter cluster state -> flat atoms -> wrap -> re-sort -> re-chop
+    into clusters -> cluster ghosts -> bin clusters -> pair lists
+  every step:
+    integrate cluster planes -> refresh ghost planes -> Pallas force
+    kernel -> integrate -> thermo
+
+The reference's updateSingleAtoms/buildClusters/defineJClusters/
+setupPbc/binClusters/buildNeighbor pipeline (clusterpair/main.c:78-93)
+maps 1:1 onto the device phases above.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mdbench_tpu.config import FF_LJ, Params
+from mdbench_tpu.models.lattice import create_fcc_lattice
+from mdbench_tpu.ops.cluster import (
+    ClusterGrid,
+    ClusterHalo,
+    ClusterPairList,
+    Clusters,
+    bin_clusters,
+    build_cluster_pairs,
+    build_clusters,
+    compute_bboxes,
+    make_cluster_grid,
+    setup_cluster_pbc,
+    update_cluster_pbc,
+)
+from mdbench_tpu.ops.pallas.lj_cluster import (
+    lj_cluster_force_pallas,
+    lj_cluster_force_xla,
+)
+from mdbench_tpu.state import SENTINEL_COORD
+from mdbench_tpu.thermo import ThermoScales, adjust_thermo, adjusted_dtforce, setup_thermo
+
+GROUP = 16  # i-clusters per shared j-list == kernel group size
+
+
+class CStepState(NamedTuple):
+    clusters: Clusters
+    vxc: jnp.ndarray  # (n_clusters_pad, 8)
+    vyc: jnp.ndarray
+    vzc: jnp.ndarray
+    fxc: jnp.ndarray
+    fyc: jnp.ndarray
+    fzc: jnp.ndarray
+    halo: ClusterHalo
+    pairs: ClusterPairList
+    overflow: jnp.ndarray
+
+
+class CRunResult(NamedTuple):
+    temps: np.ndarray
+    press: np.ndarray
+    state: CStepState
+    total_time: float
+
+
+def _use_pallas(params: Params) -> bool:
+    if params.kernel == "xla":
+        return False
+    on_cpu = jax.devices()[0].platform == "cpu"
+    if params.kernel == "pallas":
+        return True
+    return not on_cpu  # auto
+
+
+class ClusterSimulation:
+    def __init__(
+        self,
+        params: Params,
+        x: Optional[np.ndarray] = None,
+        v: Optional[np.ndarray] = None,
+        adjust: Optional[bool] = None,
+    ):
+        if params.ntypes != 1:
+            raise NotImplementedError(
+                "cluster scheme kernel is single-type; use scheme=verlet "
+                "for EXPLICIT_TYPES workloads"
+            )
+        self.params = params
+        if x is None:
+            x, v, _ = create_fcc_lattice(params)
+            if adjust is None:
+                adjust = True
+        self.natoms = self.nlocal = x.shape[0]
+        self.scales: ThermoScales = setup_thermo(params, self.natoms)
+        self.dtforce = adjusted_dtforce(params, self.scales)
+        if adjust:
+            v = adjust_thermo(params, self.scales, v, self.natoms)
+
+        prd = np.array([params.xprd, params.yprd, params.zprd])
+        self.prd = prd
+        self.grid: ClusterGrid = make_cluster_grid(
+            prd, params.cutneigh, params.rho, GROUP
+        )
+
+        # host capacity estimates (grown on overflow)
+        ncx, ncy = self.grid.col_dims
+        sx, sy = self.grid.col_size
+        cx = np.clip((x[:, 0] / sx).astype(np.int64), 0, ncx - 1)
+        cy = np.clip((x[:, 1] / sy).astype(np.int64), 0, ncy - 1)
+        counts = np.bincount(cx * ncy + cy, minlength=ncx * ncy)
+        cl_per_col = np.ceil(np.ceil(counts / 8.0) / GROUP) * GROUP
+        n_clusters = int(cl_per_col.sum())
+        blk = 8 * GROUP  # kernel writes 8 groups per output block
+        self.n_clusters_pad = (int(n_clusters * 1.08) + blk) // blk * blk
+        self.ghost_cap = (
+            int(
+                self.n_clusters_pad
+                * ((1 + 2 * params.cutneigh / prd[0])
+                   * (1 + 2 * params.cutneigh / prd[1])
+                   * (1 + 2 * params.cutneigh / prd[2]) - 1.0)
+                * 1.6
+            )
+            + 64
+        )
+        # per-group j-list capacity from dilated group-bbox volume
+        zspan = GROUP * 8 / (sx * sy * params.rho)
+        vol = (
+            (sx + 2 * params.cutneigh + sx)
+            * (sy + 2 * params.cutneigh + sy)
+            * (zspan + 2 * params.cutneigh + 2.0)
+        )
+        L = int(math.ceil(vol * params.rho / 8.0 * 1.35 / 16.0)) * 16
+        self.list_cap = max(32, L)
+
+        self._x0 = x
+        self._v0 = v
+        self._build_device_state()
+
+    def _build_device_state(self):
+        dtype = self.params.dtype
+        nrows = self.nlocal + 1
+        xf = np.full((nrows, 3), SENTINEL_COORD, np.float64)
+        xf[: self.nlocal] = self._x0
+        vf = np.zeros((nrows, 3), np.float64)
+        vf[: self.nlocal] = self._v0
+        self.x_flat0 = jnp.asarray(xf, dtype)
+        self.v_flat0 = jnp.asarray(vf, dtype)
+        self.interpret = jax.devices()[0].platform == "cpu"
+
+    # -- device phases ----------------------------------------------------
+
+    def _wrap_flat(self, x_flat):
+        prd = jnp.asarray(self.prd, x_flat.dtype)
+        xl = x_flat[: self.nlocal]
+        xl = jnp.where(xl < 0.0, xl + prd, xl)
+        xl = jnp.where(xl >= prd, xl - prd, xl)
+        return x_flat.at[: self.nlocal].set(xl)
+
+    def _reneighbor_from_flat(self, x_flat, v_flat):
+        p = self.params
+        x_flat = self._wrap_flat(x_flat)
+        clusters, ovf_c = build_clusters(
+            self.grid, x_flat, self.nlocal, self.n_clusters_pad,
+            self.ghost_cap, group=GROUP,
+        )
+        aid = clusters.atom_id
+        valid = aid >= 0
+        a = jnp.clip(aid, 0, self.nlocal - 1)
+        zeros = jnp.zeros_like(clusters.xc[: self.n_clusters_pad])
+        vxc = jnp.where(valid, v_flat[a, 0], zeros)
+        vyc = jnp.where(valid, v_flat[a, 1], zeros)
+        vzc = jnp.where(valid, v_flat[a, 2], zeros)
+
+        halo = setup_cluster_pbc(
+            clusters, self.n_clusters_pad, self.n_clusters_pad,
+            self.ghost_cap, self.prd, (p.pbc_x, p.pbc_y, p.pbc_z), p.cutneigh,
+        )
+        clusters = update_cluster_pbc(
+            clusters, halo, self.n_clusters_pad, update_bbox=True
+        )
+        cells, ovf_b = bin_clusters(self.grid, clusters)
+        pairs = build_cluster_pairs(
+            self.grid, cells, clusters, self.n_clusters_pad,
+            self.n_clusters_pad, GROUP, self.list_cap,
+        )
+        ovf = ovf_c | ovf_b | halo.overflow | pairs.overflow
+        return clusters, (vxc, vyc, vzc), halo, pairs, ovf
+
+    def _flatten(self, state: CStepState):
+        """Scatter cluster state back to flat atom arrays (reference
+        updateSingleAtoms, neighbor.c:1023-1049)."""
+        aid = state.clusters.atom_id
+        dest = jnp.where(aid >= 0, aid, self.nlocal).reshape(-1)
+        nrows = self.nlocal + 1
+        dtype = state.clusters.xc.dtype
+
+        def scat(plane_x, plane_y, plane_z):
+            out = jnp.full((nrows, 3), SENTINEL_COORD, dtype)
+            out = out.at[dest, 0].set(
+                plane_x[: self.n_clusters_pad].reshape(-1), mode="drop"
+            )
+            out = out.at[dest, 1].set(
+                plane_y[: self.n_clusters_pad].reshape(-1), mode="drop"
+            )
+            out = out.at[dest, 2].set(
+                plane_z[: self.n_clusters_pad].reshape(-1), mode="drop"
+            )
+            return out
+
+        x_flat = scat(state.clusters.xc, state.clusters.yc, state.clusters.zc)
+        v_flat = scat(state.vxc, state.vyc, state.vzc).at[self.nlocal].set(0.0)
+        return x_flat, v_flat
+
+    def _force_from(self, clusters: Clusters, pairs: ClusterPairList):
+        p = self.params
+        cutsq = p.cutforce**2
+        if _use_pallas(p):
+            return lj_cluster_force_pallas(
+                clusters.xc, clusters.yc, clusters.zc, pairs.jlist,
+                pairs.ranges, self.n_clusters_pad, GROUP, cutsq,
+                p.sigma6, p.epsilon, interpret=self.interpret,
+            )
+        return lj_cluster_force_xla(
+            clusters.xc, clusters.yc, clusters.zc, pairs.jlist,
+            self.n_clusters_pad, GROUP, cutsq, p.sigma6, p.epsilon,
+        )
+
+    # -- stepping ----------------------------------------------------------
+
+    def _plain_step(self, state: CStepState, _):
+        p = self.params
+        dt, dtf = p.dt, self.dtforce
+        vxc = state.vxc + dtf * state.fxc
+        vyc = state.vyc + dtf * state.fyc
+        vzc = state.vzc + dtf * state.fzc
+        cl = state.clusters
+        xc = cl.xc.at[: self.n_clusters_pad].add(dt * vxc)
+        yc = cl.yc.at[: self.n_clusters_pad].add(dt * vyc)
+        zc = cl.zc.at[: self.n_clusters_pad].add(dt * vzc)
+        cl = cl._replace(xc=xc, yc=yc, zc=zc)
+        cl = update_cluster_pbc(cl, state.halo, self.n_clusters_pad, False)
+        fxc, fyc, fzc = self._force_from(cl, state.pairs)
+        vxc = vxc + dtf * fxc
+        vyc = vyc + dtf * fyc
+        vzc = vzc + dtf * fzc
+        t, pr = self._thermo(vxc, vyc, vzc)
+        return (
+            state._replace(
+                clusters=cl, vxc=vxc, vyc=vyc, vzc=vzc,
+                fxc=fxc, fyc=fyc, fzc=fzc,
+            ),
+            (t, pr),
+        )
+
+    def _reneigh_step(self, state: CStepState):
+        p = self.params
+        dt, dtf = p.dt, self.dtforce
+        vxc = state.vxc + dtf * state.fxc
+        vyc = state.vyc + dtf * state.fyc
+        vzc = state.vzc + dtf * state.fzc
+        cl = state.clusters
+        xc = cl.xc.at[: self.n_clusters_pad].add(dt * vxc)
+        yc = cl.yc.at[: self.n_clusters_pad].add(dt * vyc)
+        zc = cl.zc.at[: self.n_clusters_pad].add(dt * vzc)
+        tmp_state = state._replace(
+            clusters=cl._replace(xc=xc, yc=yc, zc=zc),
+            vxc=vxc, vyc=vyc, vzc=vzc,
+        )
+        x_flat, v_flat = self._flatten(tmp_state)
+        clusters, (vxc, vyc, vzc), halo, pairs, ovf = (
+            self._reneighbor_from_flat(x_flat, v_flat)
+        )
+        fxc, fyc, fzc = self._force_from(clusters, pairs)
+        vxc = vxc + dtf * fxc
+        vyc = vyc + dtf * fyc
+        vzc = vzc + dtf * fzc
+        t, pr = self._thermo(vxc, vyc, vzc)
+        return (
+            CStepState(
+                clusters=clusters, vxc=vxc, vyc=vyc, vzc=vzc,
+                fxc=fxc, fyc=fyc, fzc=fzc, halo=halo, pairs=pairs,
+                overflow=state.overflow | ovf,
+            ),
+            (t, pr),
+        )
+
+    def _thermo(self, vxc, vyc, vzc):
+        vsq = (
+            jnp.sum(vxc * vxc) + jnp.sum(vyc * vyc) + jnp.sum(vzc * vzc)
+        ) * self.params.mass
+        t = vsq * self.scales.t_scale
+        pr = (t * self.scales.dof_boltz) * self.scales.p_scale
+        return t, pr
+
+    # -- run ---------------------------------------------------------------
+
+    def initial_state(self) -> CStepState:
+        @jax.jit
+        def init(x_flat, v_flat):
+            clusters, (vxc, vyc, vzc), halo, pairs, ovf = (
+                self._reneighbor_from_flat(x_flat, v_flat)
+            )
+            fxc, fyc, fzc = self._force_from(clusters, pairs)
+            return CStepState(
+                clusters=clusters, vxc=vxc, vyc=vyc, vzc=vzc,
+                fxc=fxc, fyc=fyc, fzc=fzc, halo=halo, pairs=pairs,
+                overflow=ovf,
+            )
+
+        return init(self.x_flat0, self.v_flat0)
+
+    def _make_run_fn(self, ntimes: int):
+        every = self.params.reneigh_every
+        n_intervals = ntimes // every
+        tail = ntimes - n_intervals * every
+
+        def interval(state, _):
+            state, tp_a = jax.lax.scan(
+                self._plain_step, state, None, length=every - 1
+            )
+            state, tp_b = self._reneigh_step(state)
+            tp = jax.tree_util.tree_map(
+                lambda a, b: jnp.concatenate([a, b[None]]), tp_a, tp_b
+            )
+            return state, tp
+
+        def run(state):
+            if n_intervals > 0:
+                state, tps = jax.lax.scan(
+                    interval, state, None, length=n_intervals
+                )
+                temps = tps[0].reshape(-1)
+                press = tps[1].reshape(-1)
+            else:
+                temps = jnp.zeros((0,), state.vxc.dtype)
+                press = jnp.zeros((0,), state.vxc.dtype)
+            if tail:
+                state, tp_t = jax.lax.scan(
+                    self._plain_step, state, None, length=tail
+                )
+                temps = jnp.concatenate([temps, tp_t[0]])
+                press = jnp.concatenate([press, tp_t[1]])
+            return state, (temps, press)
+
+        return jax.jit(run, donate_argnums=(0,))
+
+    def run(self, ntimes: Optional[int] = None, max_retries: int = 5) -> CRunResult:
+        p = self.params
+        ntimes = p.ntimes if ntimes is None else ntimes
+        for _ in range(max_retries + 1):
+            state0 = self.initial_state()
+            jax.block_until_ready(state0)
+            if bool(state0.overflow):
+                self._grow()
+                continue
+            run_fn = self._make_run_fn(ntimes)
+            compiled = run_fn.lower(state0).compile()
+            t0 = time.perf_counter()
+            state, (temps, press) = compiled(state0)
+            _fence = float(jnp.sum(state.vxc[0]))
+            total = time.perf_counter() - t0
+            if not bool(state.overflow):
+                return CRunResult(
+                    temps=np.asarray(temps), press=np.asarray(press),
+                    state=state, total_time=total,
+                )
+            self._grow()
+        raise RuntimeError("cluster capacity overflow persisted")
+
+    def _grow(self):
+        blk = 8 * GROUP
+        self.n_clusters_pad = (int(self.n_clusters_pad * 1.3) + blk) // blk * blk
+        self.ghost_cap = int(self.ghost_cap * 1.4) + 64
+        self.list_cap = int(self.list_cap * 2) // 16 * 16
+        # widen the search geometry too: any of bin capacity, z-slop, or
+        # window coverage may have been the overflowing constraint
+        self.grid = make_cluster_grid(
+            self.prd, self.params.cutneigh, self.params.rho, GROUP,
+            bin_capacity=int(self.grid.bin_capacity * 1.3 + 3) // 4 * 4,
+            slop_z=self.grid.slop_z * 1.5,
+        )
+        self._build_device_state()
+
+    # convenience ----------------------------------------------------------
+
+    def first_force_atoms(self) -> np.ndarray:
+        """Step-0 forces scattered back to original atom order (tests)."""
+        state = self.initial_state()
+        aid = np.asarray(state.clusters.atom_id).reshape(-1)
+        fx = np.asarray(state.fxc).reshape(-1)
+        fy = np.asarray(state.fyc).reshape(-1)
+        fz = np.asarray(state.fzc).reshape(-1)
+        out = np.zeros((self.nlocal, 3))
+        m = aid >= 0
+        out[aid[m], 0] = fx[m]
+        out[aid[m], 1] = fy[m]
+        out[aid[m], 2] = fz[m]
+        return out

@@ -1,0 +1,524 @@
+"""GROMACS-style MxN cluster machinery, re-dimensioned for the TPU.
+
+Reference scheme (src/clusterpair/): atoms grouped into M-atom i-clusters
+and N-atom j-clusters sized to the SIMD width, bounding-box pruned
+cluster-pair lists, interaction-mask self-exclusion
+(neighbor.c:663-1021, force.h:34-95).
+
+TPU re-derivation (SURVEY §2.5): M = N = 8 atoms per cluster — 8 matches
+the f32 sublane count, and a group of G i-clusters shares one j-list so
+the force kernel processes (8 i-atoms) x (16 j-clusters = 128 lanes)
+VPU tiles with j loads amortized over the group (ops/pallas/lj_cluster).
+Differences from the reference, chosen deliberately for the hardware:
+
+- clusters are built by one (column, z) sort over all atoms — the
+  z-per-bin selection sort (neighbor.c:599-661) becomes a single
+  lax.sort, and clusters are 8 consecutive atoms of a column;
+- exclusion masks: the reference precomputes diagonal bitmask tables
+  (atom.c:463-601). On TPU a mask is one vector compare, so the kernel
+  tests global atom ids directly — no tables, no masked/unmasked list
+  partition (neighbor.c:374-387);
+- pair pruning uses bounding-box distance only (the reference adds an
+  exact MxN check, neighbor.c:262-436); bbox-only is conservative.
+
+Everything is fixed-capacity + overflow flags, rebuilt on device at
+reneighbor boundaries.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mdbench_tpu.state import SENTINEL_COORD
+
+M = 8  # atoms per cluster == f32 sublanes
+
+
+class ClusterGrid(NamedTuple):
+    """Static geometry for cluster binning and pair search."""
+
+    col_dims: tuple  # (ncx, ncy) interior columns
+    col_size: tuple  # (sx, sy) >= cutneigh
+    # (col, zslab) search bins for cluster centers, 2-bin margin rings
+    bin_dims: tuple  # (bx, by, bz) incl. margins
+    bin_size: tuple  # (sx, sy, sz)
+    bin_capacity: int  # clusters per search bin
+    stencil: tuple  # (Wx, Wy, Wz) candidate window in bins
+    slop_z: float  # assumed max half-z-extent of any cluster (checked)
+    prd: tuple
+    cutneigh: float
+
+    @property
+    def nbins(self) -> int:
+        b = self.bin_dims
+        return b[0] * b[1] * b[2]
+
+
+def make_cluster_grid(
+    prd, cutneigh: float, rho: float, group: int,
+    bin_capacity: int = 0, slop_z: float = 0.0,
+) -> ClusterGrid:
+    ncx = max(1, int(math.floor(prd[0] / cutneigh)))
+    ncy = max(1, int(math.floor(prd[1] / cutneigh)))
+    sx, sy = prd[0] / ncx, prd[1] / ncy
+    nz = max(1, int(math.floor(prd[2] / cutneigh)))
+    sz = prd[2] / nz
+    # margins: cluster centers of ghost images lie within
+    # cutneigh + extent/2 of the box; 2 bins cover that for bin >= cutneigh
+    bin_dims = (ncx + 4, ncy + 4, nz + 4)
+    if bin_capacity <= 0:
+        mean = rho * sx * sy * sz / M
+        bin_capacity = max(8, int(math.ceil(mean * 3.0 / 4.0)) * 4)
+    if slop_z <= 0.0:
+        # expected z-extent of a full cluster, x2 headroom; bin_clusters
+        # verifies the bound at runtime and flags overflow if violated
+        slop_z = max(M / (sx * sy * rho), 0.3 * sz) * 1.0
+    # candidate window: i-entity extent + 2*(cutneigh + j-half-extent).
+    # xy half-extent of any cluster is col_size/2 exactly (clusters never
+    # span columns); z half-extent is bounded by slop_z (checked).
+    zspan = group * M / (sx * sy * rho)  # typical group z extent
+
+    def win(extent, c, slop, binsize, maxdim):
+        span = extent + 2.0 * (c + slop)
+        return min(int(math.ceil(span / binsize)) + 1, maxdim)
+
+    wx = win(sx, cutneigh, sx / 2, sx, bin_dims[0])
+    wy = win(sy, cutneigh, sy / 2, sy, bin_dims[1])
+    wz = win(zspan, cutneigh, slop_z, sz, bin_dims[2])
+    return ClusterGrid(
+        col_dims=(ncx, ncy),
+        col_size=(sx, sy),
+        bin_dims=bin_dims,
+        bin_size=(sx, sy, sz),
+        bin_capacity=bin_capacity,
+        stencil=(wx, wy, wz),
+        slop_z=slop_z,
+        prd=tuple(prd),
+        cutneigh=cutneigh,
+    )
+
+
+class Clusters(NamedTuple):
+    """Cluster-layout state. Coordinate planes are (C_total, 8) — local
+    clusters first, then ghost slots, then one sentinel cluster (the
+    reference's dummy_cj, atom.h:46-53). bbox is (C_total, 8) with
+    columns [xmin xmax ymin ymax zmin zmax pad pad] so one row gather
+    fetches a whole bbox."""
+
+    xc: jnp.ndarray
+    yc: jnp.ndarray
+    zc: jnp.ndarray
+    bbox: jnp.ndarray  # (C_total, 8)
+    atom_id: jnp.ndarray  # (C_local, 8) int32 — original atom row, or -1 pad
+
+
+class ClusterHalo(NamedTuple):
+    border_map: jnp.ndarray  # (gcap,) int32 owner cluster
+    shift_x: jnp.ndarray  # (gcap,)
+    shift_y: jnp.ndarray
+    shift_z: jnp.ndarray
+    nghost: jnp.ndarray  # () int32
+    overflow: jnp.ndarray
+
+
+class ClusterPairList(NamedTuple):
+    """Per-group shared j-cluster list (NG, 1, L) for the Pallas kernel
+    (SMEM-blocked), z-sorted and padded with the sentinel cluster id.
+    `ranges` packs per-member tile windows: [0:G) start tile, [G:2G) end
+    tile, [2G] the group's tile-loop bound."""
+
+    jlist: jnp.ndarray  # (NG, 1, L) int32
+    ranges: jnp.ndarray  # (NG, 1, 2*G+1) int32
+    nj: jnp.ndarray  # (NG,) int32
+    overflow: jnp.ndarray
+
+
+def _zbits(z):
+    """Monotonic int32 key for non-negative floats."""
+    return jax.lax.bitcast_convert_type(z.astype(jnp.float32), jnp.int32)
+
+
+def build_clusters(
+    grid: ClusterGrid,
+    x: jnp.ndarray,  # (nrows, 3) atom positions, locals [0, nlocal)
+    nlocal: int,
+    n_clusters_pad: int,  # local cluster capacity (multiple of group)
+    ghost_capacity: int,  # ghost cluster capacity
+    group: int = 1,  # pad each column to a multiple of `group` clusters
+) -> tuple[Clusters, jnp.ndarray]:
+    """Sort atoms by (column, z) and chop each COLUMN's run into 8-atom
+    clusters, padding the last cluster of every column (reference:
+    binAtoms + sortAtomsByZCoord + buildClusters, neighbor.c:599-753).
+    Per-column chopping keeps cluster bboxes inside one column — a
+    cluster spanning a raster-order column jump would have a box-sized
+    bbox and wreck the pair search.
+
+    Built by the inverse (gather) mapping: for each (cluster, slot)
+    compute which sorted atom fills it — no scatter needed.
+    Returns (clusters, overflow_flag).
+    """
+    dtype = x.dtype
+    xl = x[:nlocal]
+    sx, sy = grid.col_size
+    ncx, ncy = grid.col_dims
+    ncol = ncx * ncy
+    cx = jnp.clip((xl[:, 0] / sx).astype(jnp.int32), 0, ncx - 1)
+    cy = jnp.clip((xl[:, 1] / sy).astype(jnp.int32), 0, ncy - 1)
+    col = cx * ncy + cy
+    zb = _zbits(xl[:, 2])
+    idx = jnp.arange(nlocal, dtype=jnp.int32)
+    sorted_col, _, perm = jax.lax.sort((col, zb, idx), num_keys=2)
+
+    # column ranges in the sorted order
+    col_start = jnp.searchsorted(
+        sorted_col, jnp.arange(ncol + 1, dtype=jnp.int32)
+    ).astype(jnp.int32)
+    col_count = col_start[1:] - col_start[:-1]  # (ncol,)
+    # round each column's cluster count up to a multiple of `group` so
+    # kernel groups never straddle columns (keeps group bboxes within one
+    # column, which the pair-search window assumes)
+    clusters_per_col = (col_count + (M - 1)) // M
+    if group > 1:
+        clusters_per_col = (
+            (clusters_per_col + (group - 1)) // group * group
+        )
+    base = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(clusters_per_col).astype(jnp.int32)]
+    )  # (ncol+1,) exclusive prefix
+    n_clusters = base[-1]
+    overflow = n_clusters > n_clusters_pad
+
+    # inverse map: cluster row -> (column, rank-within-column)
+    c_ids = jnp.arange(n_clusters_pad, dtype=jnp.int32)
+    c_col = (
+        jnp.searchsorted(base, c_ids, side="right").astype(jnp.int32) - 1
+    )
+    c_col = jnp.clip(c_col, 0, ncol - 1)
+    within = c_ids - base[c_col]
+    slot = jnp.arange(M, dtype=jnp.int32)[None, :]
+    rank = within[:, None] * M + slot  # (n_clusters_pad, M)
+    valid = (rank < col_count[c_col][:, None]) & (c_ids < n_clusters)[:, None]
+    src = jnp.clip(col_start[c_col][:, None] + rank, 0, nlocal - 1)
+    atom_rows = perm[src]  # (n_clusters_pad, M) original atom row
+
+    total = n_clusters_pad + ghost_capacity + 1
+
+    def plane(coord_col):
+        v = jnp.where(valid, xl[atom_rows, coord_col], SENTINEL_COORD)
+        full = jnp.full((total, M), SENTINEL_COORD, dtype)
+        return full.at[:n_clusters_pad].set(v)
+
+    xc, yc, zc = plane(0), plane(1), plane(2)
+    aid = jnp.where(valid, atom_rows, -1)
+    bbox = compute_bboxes(xc, yc, zc)
+    return Clusters(xc=xc, yc=yc, zc=zc, bbox=bbox, atom_id=aid), overflow
+
+
+def compute_bboxes(xc, yc, zc) -> jnp.ndarray:
+    """Per-cluster bounding boxes (reference: buildClusters bbox fill,
+    neighbor.c:739-752). Sentinel slots don't shrink the min side because
+    +1e30 only inflates max — so mask them for max with -SENTINEL."""
+    valid = jnp.abs(xc) < SENTINEL_COORD * 0.5
+
+    def mm(p):
+        lo = jnp.min(jnp.where(valid, p, SENTINEL_COORD), axis=1)
+        hi = jnp.max(jnp.where(valid, p, -SENTINEL_COORD), axis=1)
+        return lo, hi
+
+    xlo, xhi = mm(xc)
+    ylo, yhi = mm(yc)
+    zlo, zhi = mm(zc)
+    pad = jnp.zeros_like(xlo)
+    return jnp.stack([xlo, xhi, ylo, yhi, zlo, zhi, pad, pad], axis=1)
+
+
+def setup_cluster_pbc(
+    clusters: Clusters,
+    n_clusters_local: int,
+    n_clusters_pad: int,
+    ghost_capacity: int,
+    prd,
+    pbc,
+    cutneigh: float,
+) -> ClusterHalo:
+    """Ghost creation at whole-cluster granularity (reference setupPbc,
+    src/clusterpair/pbc.c:144-299): a cluster spawns an image for shift s
+    iff its bbox is within cutneigh of the corresponding boundary."""
+    bb = clusters.bbox[:n_clusters_pad]
+    dtype = clusters.xc.dtype
+    prd_v = np.asarray(prd, np.float64)
+    pbc_v = np.asarray(pbc, np.int32)
+
+    cl_valid = (
+        jnp.arange(n_clusters_pad, dtype=jnp.int32) < n_clusters_local
+    )
+    lo = jnp.stack([bb[:, 0], bb[:, 2], bb[:, 4]], axis=1) < cutneigh
+    hi = jnp.stack([bb[:, 1], bb[:, 3], bb[:, 5]], axis=1) >= (
+        jnp.asarray(prd_v, dtype) - cutneigh
+    )
+
+    shifts = np.array(
+        [
+            (sx, sy, sz)
+            for sx in (-1, 0, 1)
+            for sy in (-1, 0, 1)
+            for sz in (-1, 0, 1)
+            if (sx, sy, sz) != (0, 0, 0)
+        ],
+        dtype=np.int32,
+    )
+    pbc_ok = jnp.asarray(
+        np.all((np.abs(shifts) == 0) | (pbc_v[None, :] != 0), axis=1)
+    )
+    sh = jnp.asarray(shifts)
+    pos_ok = jnp.where(sh[None] == 1, lo[:, None, :], True)
+    neg_ok = jnp.where(sh[None] == -1, hi[:, None, :], True)
+    valid = (
+        jnp.all(pos_ok & neg_ok, axis=2) & pbc_ok[None, :] & cl_valid[:, None]
+    )
+
+    flat = valid.reshape(-1)
+    pos = jnp.cumsum(flat) - 1
+    nghost = jnp.sum(flat).astype(jnp.int32)
+    overflow = nghost > ghost_capacity
+    pos = jnp.where(flat & (pos < ghost_capacity), pos, ghost_capacity)
+
+    cl_ids = jnp.broadcast_to(
+        jnp.arange(n_clusters_pad, dtype=jnp.int32)[:, None],
+        (n_clusters_pad, 26),
+    ).reshape(-1)
+    shift_vec = jnp.broadcast_to(
+        (sh.astype(dtype) * jnp.asarray(prd_v, dtype))[None],
+        (n_clusters_pad, 26, 3),
+    ).reshape(-1, 3)
+
+    sentinel = clusters.xc.shape[0] - 1
+    border_map = jnp.full((ghost_capacity,), sentinel, jnp.int32)
+    border_map = border_map.at[pos].set(cl_ids, mode="drop")
+    sxv = jnp.zeros((ghost_capacity,), dtype).at[pos].set(shift_vec[:, 0], mode="drop")
+    syv = jnp.zeros((ghost_capacity,), dtype).at[pos].set(shift_vec[:, 1], mode="drop")
+    szv = jnp.zeros((ghost_capacity,), dtype).at[pos].set(shift_vec[:, 2], mode="drop")
+    return ClusterHalo(
+        border_map=border_map, shift_x=sxv, shift_y=syv, shift_z=szv,
+        nghost=nghost, overflow=overflow,
+    )
+
+
+def update_cluster_pbc(
+    clusters: Clusters, halo: ClusterHalo, n_clusters_pad: int,
+    update_bbox: bool,
+) -> Clusters:
+    """Refresh ghost cluster planes from owners (reference updatePbc,
+    clusterpair/pbc.c:45-113): row gather + shift."""
+    g0 = n_clusters_pad
+    gcap = halo.border_map.shape[0]
+    xg = clusters.xc[halo.border_map] + halo.shift_x[:, None]
+    yg = clusters.yc[halo.border_map] + halo.shift_y[:, None]
+    zg = clusters.zc[halo.border_map] + halo.shift_z[:, None]
+    xc = clusters.xc.at[g0 : g0 + gcap].set(xg)
+    yc = clusters.yc.at[g0 : g0 + gcap].set(yg)
+    zc = clusters.zc.at[g0 : g0 + gcap].set(zg)
+    if update_bbox:
+        bbg = clusters.bbox[halo.border_map]
+        shift8 = jnp.stack(
+            [halo.shift_x, halo.shift_x, halo.shift_y, halo.shift_y,
+             halo.shift_z, halo.shift_z,
+             jnp.zeros_like(halo.shift_x), jnp.zeros_like(halo.shift_x)],
+            axis=1,
+        )
+        bbox = clusters.bbox.at[g0 : g0 + gcap].set(bbg + shift8)
+    else:
+        bbox = clusters.bbox
+    return clusters._replace(xc=xc, yc=yc, zc=zc, bbox=bbox)
+
+
+def bin_clusters(grid: ClusterGrid, clusters: Clusters):
+    """Bin all clusters (local + ghost) by bbox center into (col, zslab)
+    search bins (reference binClusters, neighbor.c:875-1021) — the same
+    sort + ranked scatter as the atom cell list."""
+    bb = clusters.bbox
+    ctr_x = 0.5 * (bb[:, 0] + bb[:, 1])
+    ctr_y = 0.5 * (bb[:, 2] + bb[:, 3])
+    ctr_z = 0.5 * (bb[:, 4] + bb[:, 5])
+    dims = grid.bin_dims
+    size = grid.bin_size
+    bx = jnp.floor(ctr_x / size[0]).astype(jnp.int32) + 2
+    by = jnp.floor(ctr_y / size[1]).astype(jnp.int32) + 2
+    bz = jnp.floor(ctr_z / size[2]).astype(jnp.int32) + 2
+    bx = jnp.clip(bx, 0, dims[0] - 1)
+    by = jnp.clip(by, 0, dims[1] - 1)
+    bz = jnp.clip(bz, 0, dims[2] - 1)
+    flat = (bx * dims[1] + by) * dims[2] + bz
+    # all-sentinel clusters have xmin=+1e30 (their CENTER misleadingly
+    # averages to ~0, so test the bbox corner, not the center)
+    invalid = ~(bb[:, 0] < SENTINEL_COORD * 0.25)  # NaN-safe
+    ids = jnp.where(invalid, grid.nbins, flat)
+    # the pair search assumes every cluster's z half-extent <= slop_z
+    z_ext_ok = jnp.where(
+        invalid, True, 0.5 * (bb[:, 5] - bb[:, 4]) <= grid.slop_z
+    )
+
+    nrows = bb.shape[0]
+    sentinel = nrows - 1
+    order = jnp.argsort(ids)
+    sorted_ids = ids[order]
+    starts = jnp.searchsorted(
+        sorted_ids, jnp.arange(grid.nbins + 1, dtype=ids.dtype)
+    )
+    rank = jnp.arange(nrows, dtype=jnp.int32) - starts[sorted_ids].astype(jnp.int32)
+    valid = sorted_ids < grid.nbins
+    in_cap = rank < grid.bin_capacity
+    overflow = jnp.any(valid & ~in_cap) | jnp.any(~z_ext_ok)
+    pos = jnp.where(
+        valid & in_cap,
+        sorted_ids.astype(jnp.int32) * grid.bin_capacity + rank,
+        (grid.nbins + 1) * grid.bin_capacity,
+    )
+    cells = jnp.full(((grid.nbins + 1) * grid.bin_capacity,), sentinel, jnp.int32)
+    cells = cells.at[pos].set(order.astype(jnp.int32), mode="drop")
+    return cells.reshape(grid.nbins + 1, grid.bin_capacity), overflow
+
+
+def build_cluster_pairs(
+    grid: ClusterGrid,
+    cells: jnp.ndarray,  # (nbins+1, cap)
+    clusters: Clusters,
+    n_clusters_local: int,
+    n_clusters_pad: int,
+    group: int,
+    list_capacity: int,
+    chunk: int = 256,
+) -> ClusterPairList:
+    """Shared j-list per group of `group` consecutive i-clusters
+    (reference buildNeighbor, neighbor.c:176-436, re-shaped: per-group
+    union lists feed the 8x128 kernel; bbox distance is the only prune).
+    """
+    ng = n_clusters_pad // group
+    dims = grid.bin_dims
+    size = grid.bin_size
+    cap = grid.bin_capacity
+    wx, wy, wz = grid.stencil
+    cutsq = grid.cutneigh * grid.cutneigh
+    sentinel = clusters.xc.shape[0] - 1
+
+    bb_local = clusters.bbox[:n_clusters_pad].reshape(ng, group, 8)
+    # group bbox = union over members (sentinel members auto-inert)
+    gmin_x = jnp.min(bb_local[:, :, 0], axis=1)
+    gmax_x = jnp.max(bb_local[:, :, 1], axis=1)
+    gmin_y = jnp.min(bb_local[:, :, 2], axis=1)
+    gmax_y = jnp.max(bb_local[:, :, 3], axis=1)
+    gmin_z = jnp.min(bb_local[:, :, 4], axis=1)
+    gmax_z = jnp.max(bb_local[:, :, 5], axis=1)
+
+    # candidate window start bins (dilate by cutneigh + half-extent slop:
+    # binning is by center, so a j bbox reaches half-extent outside its
+    # bin; xy half-extent <= col_size/2, z half-extent <= slop_z, checked
+    # in bin_clusters)
+    slop = (size[0] / 2, size[1] / 2, grid.slop_z)
+    offs = np.array(
+        [
+            ((ox * dims[1]) + oy) * dims[2] + oz
+            for ox in range(wx)
+            for oy in range(wy)
+            for oz in range(wz)
+        ],
+        dtype=np.int32,
+    )
+    offs_j = jnp.asarray(offs)
+
+    nj_dtype = jnp.int32
+
+    def chunk_fn(g0):
+        gs = g0 + jnp.arange(chunk, dtype=jnp.int32)
+        real = gs < ng
+        gsafe = jnp.where(real, gs, 0)
+        mnx = gmin_x[gsafe]; mxx = gmax_x[gsafe]
+        mny = gmin_y[gsafe]; mxy = gmax_y[gsafe]
+        mnz = gmin_z[gsafe]; mxz = gmax_z[gsafe]
+
+        bx0 = jnp.floor((mnx - grid.cutneigh - slop[0]) / size[0]).astype(jnp.int32) + 2
+        by0 = jnp.floor((mny - grid.cutneigh - slop[1]) / size[1]).astype(jnp.int32) + 2
+        bz0 = jnp.floor((mnz - grid.cutneigh - slop[2]) / size[2]).astype(jnp.int32) + 2
+        bx0 = jnp.clip(bx0, 0, dims[0] - wx)
+        by0 = jnp.clip(by0, 0, dims[1] - wy)
+        bz0 = jnp.clip(bz0, 0, dims[2] - wz)
+        # coverage check: window must reach the dilated max corner —
+        # clamped to the last real bin (no cluster lives beyond the grid)
+        bx1 = jnp.floor((mxx + grid.cutneigh + slop[0]) / size[0]).astype(jnp.int32) + 2
+        by1 = jnp.floor((mxy + grid.cutneigh + slop[1]) / size[1]).astype(jnp.int32) + 2
+        bz1 = jnp.floor((mxz + grid.cutneigh + slop[2]) / size[2]).astype(jnp.int32) + 2
+        bx1 = jnp.minimum(bx1, dims[0] - 1)
+        by1 = jnp.minimum(by1, dims[1] - 1)
+        bz1 = jnp.minimum(bz1, dims[2] - 1)
+        covered = (
+            (bx1 - bx0 < wx) & (by1 - by0 < wy) & (bz1 - bz0 < wz)
+        ) | ~real
+
+        base = (bx0 * dims[1] + by0) * dims[2] + bz0  # (chunk,)
+        cand_bins = base[:, None] + offs_j[None, :]  # (chunk, 16*SZ)
+        cand = cells[cand_bins].reshape(chunk, -1)  # (chunk, ncand)
+
+        cb = clusters.bbox[cand]  # (chunk, ncand, 8) row gather
+        # bbox-to-bbox distance vs group bbox
+        def gap(lo_i, hi_i, lo_j, hi_j):
+            return jnp.maximum(
+                0.0, jnp.maximum(lo_i[:, None] - hi_j, lo_j - hi_i[:, None])
+            )
+        dx = gap(mnx, mxx, cb[:, :, 0], cb[:, :, 1])
+        dy = gap(mny, mxy, cb[:, :, 2], cb[:, :, 3])
+        dz = gap(mnz, mxz, cb[:, :, 4], cb[:, :, 5])
+        dsq = dx * dx + dy * dy + dz * dz
+        keep = (dsq <= cutsq) & (cand != sentinel) & real[:, None]
+
+        nj = jnp.sum(keep, axis=1).astype(nj_dtype)
+        # Sort kept candidates by bbox zmin: each i-cluster's reachable
+        # j's then form ONE contiguous segment of the group list, so the
+        # kernel can skip tiles outside a per-i-cluster [start, end)
+        # range — per-cluster pruning with group-amortized loads (the
+        # TPU answer to the reference's per-cluster lists + imasks).
+        zmin_j = jnp.where(keep, cb[:, :, 4], SENTINEL_COORD)
+        zs, jl_sorted = jax.lax.sort(
+            (zmin_j, cand.astype(jnp.int32)), num_keys=1
+        )
+        jl = jl_sorted[:, :list_capacity]
+        zs = zs[:, :list_capacity]
+
+        # per-member tile ranges (16 j-clusters per kernel tile).
+        # j needed iff zmax_j >= zmin_i - c and zmin_j <= zmax_i + c;
+        # zmax_j <= zmin_j + 2*slop_z makes the start bound conservative.
+        bbm = bb_local[gsafe]  # (chunk, group, 8)
+        zmin_i = bbm[:, :, 4]
+        zmax_i = bbm[:, :, 5]
+        lo = zmin_i - grid.cutneigh - 2.0 * grid.slop_z
+        hi = zmax_i + grid.cutneigh
+        start = jnp.sum(
+            zs[:, None, :] < lo[:, :, None], axis=2
+        ).astype(jnp.int32)
+        end = jnp.sum(
+            zs[:, None, :] <= hi[:, :, None], axis=2
+        ).astype(jnp.int32)
+        end = jnp.minimum(end, jnp.minimum(nj, list_capacity)[:, None])
+        start = jnp.minimum(start, end)
+        start16 = start // 16
+        end16 = (end + 15) // 16
+        njg_g = jnp.max(end16, axis=1, keepdims=True)  # (chunk, 1)
+        ranges = jnp.concatenate([start16, end16, njg_g], axis=1)
+
+        ovf = jnp.any(nj > list_capacity) | jnp.any(~covered)
+        return jl, ranges, nj, ovf
+
+    ngpad = ((ng + chunk - 1) // chunk) * chunk
+    starts = jnp.arange(0, ngpad, chunk, dtype=jnp.int32)
+    jls, rgs, njs, ovfs = jax.lax.map(chunk_fn, starts)
+    jlist = jls.reshape(-1, list_capacity)[:ng].reshape(ng, 1, list_capacity)
+    rdim = 2 * group + 1
+    ranges = rgs.reshape(-1, rdim)[:ng].reshape(ng, 1, rdim)
+    nj = njs.reshape(-1)[:ng]
+    return ClusterPairList(
+        jlist=jlist, ranges=ranges, nj=nj, overflow=jnp.any(ovfs)
+    )

@@ -1,0 +1,245 @@
+"""Pallas TPU LJ force kernel over cluster-pair lists — the flagship
+compute kernel (replaces the reference's AVX Simd4xN/Simd2xNN and CUDA
+kernels, src/clusterpair/force_lj.c:167-1199, forceCuda.cu:190-262).
+
+Shape mapping (SURVEY §2.5): one VPU tile = (8 sublanes = the 8 atoms of
+an i-cluster) x (128 lanes = 16 j-clusters x 8 atoms). A group of G=16
+i-clusters shares one j-list, so the 48 VMEM loads that assemble a
+j-tile are amortized over G compute tiles. All cluster coordinate planes
+live in VMEM for the whole kernel (a few MB — the entire point of the
+cluster layout: loads are contiguous dynamic slices, never gathers).
+
+Layout rules learned the hard way (all enforced below):
+- no array with a materialized minor dim < 128 leaves the kernel: the
+  force output is (ng/8, 8, 128) written by revisiting one block across
+  8 consecutive grid steps — zero tile padding;
+- the per-group lane reduction sum_l acc[s, l] -> (1, 128) is a
+  dot_general contracting the rhs LANE dim (an MXU rhs-transposed
+  matmul); a (128,1)->(1,128) reshape/transpose is not lowerable;
+- sublane->lane data movement happens only through static lane-offset
+  stores into (1, 128) scratch rows.
+
+Self/diagonal exclusion: the reference precomputes interaction-mask
+tables (atom.c:463-601). Here the only id-equal pairs are an atom
+against itself (same cluster diagonal), which sit at exactly rsq == 0 —
+so the rsq > 0 cutoff term IS the exclusion mask and no id bookkeeping
+exists at all.
+
+Padding: sentinel clusters carry coordinates ~1e30, so padded lanes fail
+the cutoff test naturally (the reference's dummy_cj, pbc.c:305-315); the
+rsq > 0 term guards sentinel-vs-sentinel pairs whose coordinates
+coincide (0 * inf would emit NaN into padding slots).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+GROUP = 16  # i-clusters per shared j-list; GROUP*8 = 128 output lanes
+
+
+def _kernel(
+    jl_ref, rg_ref, xc_ref, yc_ref, zc_ref, fx_ref, fy_ref, fz_ref,
+    sx, sy, sz, ax, ay, az,
+    *, list_cap: int, cutforcesq: float, sigma6: float, epsilon: float,
+    approx_rcp: bool,
+):
+    g = pl.program_id(0)
+    njg = rg_ref[0, 0, 2 * GROUP]  # this group's tile-loop bound
+    base_cluster = g * GROUP
+
+    xi = xc_ref[pl.ds(base_cluster, GROUP), :]  # (16, 8)
+    yi = yc_ref[pl.ds(base_cluster, GROUP), :]
+    zi = zc_ref[pl.ds(base_cluster, GROUP), :]
+
+    ax[:] = jnp.zeros_like(ax)
+    ay[:] = jnp.zeros_like(ay)
+    az[:] = jnp.zeros_like(az)
+
+    # hoist all i-side relayouts ((8,) row -> (8,1) sublane vector) out of
+    # the j loop — recomputing them per tile dominated the kernel
+    xis = [xi[ic, :].reshape(8, 1) for ic in range(GROUP)]
+    yis = [yi[ic, :].reshape(8, 1) for ic in range(GROUP)]
+    zis = [zi[ic, :].reshape(8, 1) for ic in range(GROUP)]
+    starts = [rg_ref[0, 0, ic] for ic in range(GROUP)]
+    ends = [rg_ref[0, 0, GROUP + ic] for ic in range(GROUP)]
+
+    def jg_body(jg, _):
+        # pack 16 j-clusters into 128 lanes (3 coord planes + atom ids)
+        for k in range(16):
+            cj = jl_ref[0, 0, jg * 16 + k]
+            sx[0:1, 8 * k : 8 * (k + 1)] = xc_ref[pl.ds(cj, 1), :]
+            sy[0:1, 8 * k : 8 * (k + 1)] = yc_ref[pl.ds(cj, 1), :]
+            sz[0:1, 8 * k : 8 * (k + 1)] = zc_ref[pl.ds(cj, 1), :]
+        xj = sx[:]
+        yj = sy[:]
+        zj = sz[:]
+
+        for ic in range(GROUP):
+            # per-member z-window: skip the whole tile when this
+            # i-cluster can't reach any j in this 16-cluster slab — a
+            # real scalar branch (cheap on the TPU scalar core), which is
+            # how per-cluster pruning survives group-shared loads
+            active = (jg >= starts[ic]) & (jg < ends[ic])
+
+            @pl.when(active)
+            def _(ic=ic):
+                xic = xis[ic]
+                yic = yis[ic]
+                zic = zis[ic]
+                dx = xic - xj
+                dy = yic - yj
+                dz = zic - zj
+                rsq = dx * dx + dy * dy + dz * dz
+                # rsq > 0 excludes the only id-equal pairs (an atom vs
+                # itself on the cluster diagonal has exactly rsq == 0),
+                # so no atom-id compare is needed at all
+                mask = (rsq < cutforcesq) & (rsq > 0.0)
+                rs = jnp.where(mask, rsq, 1.0)
+                if approx_rcp:
+                    sr2 = pl.reciprocal(rs, approx=True)
+                else:
+                    sr2 = 1.0 / rs
+                sr6 = sr2 * sr2 * sr2 * sigma6
+                gf = jnp.where(
+                    mask, 48.0 * epsilon * sr6 * (sr6 - 0.5) * sr2, 0.0
+                )
+                r0 = ic * 8
+                ax[r0 : r0 + 8, :] += dx * gf
+                ay[r0 : r0 + 8, :] += dy * gf
+                az[r0 : r0 + 8, :] += dz * gf
+        return 0
+
+    jax.lax.fori_loop(0, njg, jg_body, 0)
+
+    # lane reduction: out[0, s] = sum_l acc[s, l] via a dot_general that
+    # contracts the rhs lane dim (output lane s = accumulator sublane s,
+    # i.e. atom (s // 8) of cluster base+... packed 16 clusters x 8 atoms)
+    ones = jnp.ones((1, 128), ax.dtype)
+    dn = (((1,), (1,)), ((), ()))
+    row = g % 8
+    fx_ref[0, row, :] = jax.lax.dot_general(
+        ones, ax[:], dn, preferred_element_type=ax.dtype
+    )[0]
+    fy_ref[0, row, :] = jax.lax.dot_general(
+        ones, ay[:], dn, preferred_element_type=ay.dtype
+    )[0]
+    fz_ref[0, row, :] = jax.lax.dot_general(
+        ones, az[:], dn, preferred_element_type=az.dtype
+    )[0]
+
+
+def lj_cluster_force_pallas(
+    xc, yc, zc,  # (C_total, 8) coordinate planes
+    jlist,  # (NG, 1, L) int32
+    ranges,  # (NG, 1, 2*GROUP+1) int32 per-member tile windows
+    n_clusters_pad: int,
+    group: int,
+    cutforcesq: float,
+    sigma6: float,
+    epsilon: float,
+    interpret: bool = False,
+    approx_rcp: bool = False,
+):
+    """Returns (fxc, fyc, fzc) each (n_clusters_pad, 8)."""
+    ng, _, list_cap = jlist.shape
+    assert group == GROUP, "pallas kernel is specialized to GROUP=16"
+    assert list_cap % 16 == 0
+    assert ng * group == n_clusters_pad
+    assert ng % 8 == 0, "n_clusters_pad must be a multiple of 8*GROUP"
+    rdim = ranges.shape[2]
+    dtype = xc.dtype
+
+    kern = functools.partial(
+        _kernel,
+        list_cap=list_cap,
+        cutforcesq=float(cutforcesq), sigma6=float(sigma6),
+        epsilon=float(epsilon), approx_rcp=bool(approx_rcp),
+    )
+    out_block = pl.BlockSpec(
+        (1, 8, 128), lambda g: (g // 8, 0, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(ng,),
+        in_specs=[
+            pl.BlockSpec((1, 1, list_cap), lambda g: (g, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, rdim), lambda g: (g, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[out_block, out_block, out_block],
+        out_shape=[
+            jax.ShapeDtypeStruct((ng // 8, 8, 128), dtype),
+            jax.ShapeDtypeStruct((ng // 8, 8, 128), dtype),
+            jax.ShapeDtypeStruct((ng // 8, 8, 128), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, 128), dtype),
+            pltpu.VMEM((1, 128), dtype),
+            pltpu.VMEM((1, 128), dtype),
+            pltpu.VMEM((GROUP * 8, 128), dtype),
+            pltpu.VMEM((GROUP * 8, 128), dtype),
+            pltpu.VMEM((GROUP * 8, 128), dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(jlist, ranges, xc, yc, zc)
+    fx, fy, fz = out
+    return (
+        fx.reshape(n_clusters_pad, 8),
+        fy.reshape(n_clusters_pad, 8),
+        fz.reshape(n_clusters_pad, 8),
+    )
+
+
+def lj_cluster_force_xla(
+    xc, yc, zc, jlist, n_clusters_pad: int, group: int,
+    cutforcesq, sigma6, epsilon,
+):
+    """Pure-XLA cluster force — correctness oracle for the Pallas kernel
+    and the CPU fallback (the reference keeps a scalar kernel for the
+    same purpose, computeForceLJRef, force_lj.c:47-165)."""
+    ng, _, L = jlist.shape
+    jl = jlist.reshape(ng, L)
+    # gather j-cluster planes: (ng, L, 8)
+    xj = xc[jl]
+    yj = yc[jl]
+    zj = zc[jl]
+    jid = jl[:, :, None] * 8 + jnp.arange(8, dtype=jnp.int32)[None, None, :]
+    xj = xj.reshape(ng, 1, L * 8)
+    yj = yj.reshape(ng, 1, L * 8)
+    zj = zj.reshape(ng, 1, L * 8)
+    jid = jid.reshape(ng, 1, L * 8)
+
+    xi = xc[: n_clusters_pad].reshape(ng, group * 8, 1)
+    yi = yc[: n_clusters_pad].reshape(ng, group * 8, 1)
+    zi = zc[: n_clusters_pad].reshape(ng, group * 8, 1)
+    cid = jnp.arange(n_clusters_pad, dtype=jnp.int32)
+    iid = (cid[:, None] * 8 + jnp.arange(8, dtype=jnp.int32)[None, :]).reshape(
+        ng, group * 8, 1
+    )
+
+    dx = xi - xj
+    dy = yi - yj
+    dz = zi - zj
+    rsq = dx * dx + dy * dy + dz * dz
+    mask = (rsq < cutforcesq) & (jid != iid) & (rsq > 0.0)
+    rs = jnp.where(mask, rsq, 1.0)
+    sr2 = 1.0 / rs
+    sr6 = sr2 * sr2 * sr2 * sigma6
+    gf = jnp.where(mask, 48.0 * epsilon * sr6 * (sr6 - 0.5) * sr2, 0.0)
+    fx = jnp.sum(dx * gf, axis=2).reshape(n_clusters_pad, 8)
+    fy = jnp.sum(dy * gf, axis=2).reshape(n_clusters_pad, 8)
+    fz = jnp.sum(dz * gf, axis=2).reshape(n_clusters_pad, 8)
+    return fx, fy, fz

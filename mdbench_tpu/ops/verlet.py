@@ -55,9 +55,12 @@ def build_neighbors(
         cand_bins = ib[:, None] + stencil[None, :]  # (chunk, 27)
         cand = cl.cells[cand_bins].reshape(chunk, -1)  # (chunk, C)
         xi = x[i_safe]
-        xj = x[cand]
-        delta = xi[:, None, :] - xj
-        rsq = jnp.sum(delta * delta, axis=-1)
+        xj = x[cand]  # (chunk, C, 3) — split to planes immediately (TPU
+        # pads a materialized minor dim 3 to 128 lanes; planar stays dense)
+        dxp = xi[:, 0, None] - xj[:, :, 0]
+        dyp = xi[:, 1, None] - xj[:, :, 1]
+        dzp = xi[:, 2, None] - xj[:, :, 2]
+        rsq = dxp * dxp + dyp * dyp + dzp * dzp
         if typed:
             cut = cutneighsq[types[i_safe][:, None], types[cand]]
         else:
@@ -68,11 +71,14 @@ def build_neighbors(
             mask &= cand > i_idx[:, None]
 
         nn = jnp.sum(mask, axis=1).astype(jnp.int32)
-        pos = jnp.cumsum(mask, axis=1) - 1
-        pos = jnp.where(mask & (pos < maxneighs), pos, maxneighs)
-        rows = jnp.arange(chunk, dtype=jnp.int32)[:, None]
-        neigh = jnp.full((chunk, maxneighs), sentinel_row, jnp.int32)
-        neigh = neigh.at[rows, pos].set(cand, mode="drop")
+        # Compact by sorting (j if valid else sentinel) ascending: valid
+        # entries land in the first nn columns, sorted by j — row order
+        # differs from the reference's bin-scan order (physics is order-
+        # independent) and the ascending-j rows improve gather locality.
+        # A row sort beats a (chunk x C) scatter by a wide margin on TPU.
+        packed = jnp.where(mask, cand, sentinel_row)
+        packed = jnp.sort(packed, axis=1)
+        neigh = packed[:, :maxneighs]
         return neigh, nn
 
     starts = jnp.arange(0, nlocal_pad, chunk, dtype=jnp.int32)

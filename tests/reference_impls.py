@@ -108,3 +108,61 @@ def lj_force_reference(x, xprd, yprd, zprd, cutforce, sigma6, epsilon):
                 force = 48.0 * sr6 * (sr6 - 0.5) * sr2 * epsilon
                 f[i] += d * force
     return f
+
+
+def eam_force_reference(x, prd, cutforce, tables):
+    """Scalar transcription of computeForceEam (reference:
+    src/verletlist/force_eam.c:19-231) on dense min-image pairs, using
+    the spline tables from models.eam_tables."""
+    n = x.shape[0]
+    rhor, frho, z2r = tables.rhor_spline, tables.frho_spline, tables.z2r_spline
+    rdr, rdrho, nr, nrho = tables.rdr, tables.rdrho, tables.nr, tables.nrho
+    cutsq = cutforce * cutforce
+    prd = np.asarray(prd)
+
+    def pairs(i):
+        for j in range(n):
+            if j == i:
+                continue
+            d = x[i] - x[j]
+            d -= prd * np.round(d / prd)
+            rsq = float(d @ d)
+            if rsq < cutsq:
+                yield j, d, rsq
+
+    fp = np.zeros(n)
+    for i in range(n):
+        rhoi = 0.0
+        for j, d, rsq in pairs(i):
+            p = np.sqrt(rsq) * rdr + 1.0
+            m = int(p)
+            m = min(m, nr - 1)
+            p -= m
+            p = min(p, 1.0)
+            rhoi += ((rhor[m, 3] * p + rhor[m, 4]) * p + rhor[m, 5]) * p + rhor[m, 6]
+        p = 1.0 * rhoi * rdrho + 1.0
+        m = int(p)
+        m = max(1, min(m, nrho - 1))
+        p -= m
+        p = min(p, 1.0)
+        fp[i] = (frho[m, 0] * p + frho[m, 1]) * p + frho[m, 2]
+
+    f = np.zeros_like(x)
+    for i in range(n):
+        for j, d, rsq in pairs(i):
+            r = np.sqrt(rsq)
+            p = r * rdr + 1.0
+            m = int(p)
+            m = min(m, nr - 1)
+            p -= m
+            p = min(p, 1.0)
+            rhoip = (rhor[m, 0] * p + rhor[m, 1]) * p + rhor[m, 2]
+            z2p = (z2r[m, 0] * p + z2r[m, 1]) * p + z2r[m, 2]
+            z2 = ((z2r[m, 3] * p + z2r[m, 4]) * p + z2r[m, 5]) * p + z2r[m, 6]
+            recip = 1.0 / r
+            phi = z2 * recip
+            phip = z2p * recip - phi * recip
+            psip = fp[i] * rhoip + fp[j] * rhoip + phip
+            fpair = -psip * recip
+            f[i] += d * fpair
+    return f

@@ -1,0 +1,56 @@
+"""Cluster-pair scheme vs the dense oracle (CPU, XLA kernel path)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mdbench_tpu.config import Params
+from mdbench_tpu.engine_cluster import ClusterSimulation
+from mdbench_tpu.models.lattice import create_fcc_lattice
+from mdbench_tpu.ops.dense import lj_force_dense
+
+
+def test_cluster_first_force_matches_dense():
+    p = Params(nx=4, ny=4, nz=4, kernel="xla")
+    sim = ClusterSimulation(p)
+    f = sim.first_force_atoms()
+    f_ref, _, _ = lj_force_dense(
+        jnp.asarray(sim._x0), sim.prd, p.cutforce, p.sigma6, p.epsilon
+    )
+    np.testing.assert_allclose(f, np.asarray(f_ref), rtol=1e-9, atol=1e-9)
+
+
+def test_cluster_pallas_interpret_matches_xla():
+    """Pallas kernel in interpreter mode == XLA oracle (small box)."""
+    p = Params(nx=3, ny=3, nz=3, kernel="pallas")
+    sim = ClusterSimulation(p)
+    f_pallas = sim.first_force_atoms()
+    p2 = Params(nx=3, ny=3, nz=3, kernel="xla")
+    sim2 = ClusterSimulation(p2)
+    f_xla = sim2.first_force_atoms()
+    np.testing.assert_allclose(f_pallas, f_xla, rtol=1e-6, atol=1e-7)
+
+
+def test_cluster_short_run_matches_verlet_engine():
+    """20 steps of the cluster engine == 20 steps of the verlet engine."""
+    from mdbench_tpu.engine import Simulation
+
+    pv = Params(nx=4, ny=4, nz=4, ntimes=20, reneigh_every=5)
+    pc = Params(nx=4, ny=4, nz=4, ntimes=20, reneigh_every=5, kernel="xla")
+    # disable the verlet engine's setup sort so both start identically
+    out_v = Simulation(pv).run()
+    out_c = ClusterSimulation(pc).run()
+    np.testing.assert_allclose(out_c.temps, out_v.temps, rtol=1e-8)
+    np.testing.assert_allclose(out_c.press, out_v.press, rtol=1e-8)
+    assert not bool(out_c.state.overflow)
+
+
+def test_cluster_capacity_overflow_recovers():
+    """Force a tiny list capacity; engine must grow and still be right."""
+    p = Params(nx=3, ny=3, nz=3, ntimes=5, reneigh_every=5, kernel="xla")
+    sim = ClusterSimulation(p)
+    sim.list_cap = 16  # far too small on purpose
+    out = sim.run()
+    assert not bool(out.state.overflow)
+    assert np.isfinite(out.temps).all()

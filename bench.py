@@ -17,10 +17,12 @@ import sys
 
 def main() -> int:
     from mdbench_tpu.config import Params
-    from mdbench_tpu.engine import Simulation
+    from mdbench_tpu.engine_cluster import ClusterSimulation
 
-    params = Params(precision="sp")  # benchmark axis: SP (DP = parity axis)
-    sim = Simulation(params)
+    # benchmark axis: SP + cluster scheme + Pallas kernel (the fast path;
+    # DP/verlet is the parity axis)
+    params = Params(precision="sp", scheme="cluster")
+    sim = ClusterSimulation(params)
     out = sim.run()
     mups = 1e-6 * sim.natoms * params.ntimes / out.total_time
 

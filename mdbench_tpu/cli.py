@@ -108,17 +108,25 @@ def main(argv=None) -> int:
 
         jax.config.update("jax_enable_x64", True)
 
-    from mdbench_tpu.engine import Simulation
+    if params.scheme == "cluster":
+        from mdbench_tpu.engine_cluster import ClusterSimulation as Engine
+    else:
+        from mdbench_tpu.engine import Simulation as Engine
 
-    sim = Simulation(params)
+    sim = Engine(params)
     print(print_parameters(params))
     sys.stdout.write(HLINE)
     print("step\ttemp\t\tpressure")
 
     state0 = sim.initial_state()
-    from mdbench_tpu.thermo import compute_thermo
+    if params.scheme == "cluster":
+        t0v, p0v = sim._thermo(state0.vxc, state0.vyc, state0.vzc)
+    else:
+        from mdbench_tpu.thermo import compute_thermo
 
-    t0v, p0v = compute_thermo(state0.v, sim.nlocal, params.mass, sim.scales)
+        t0v, p0v = compute_thermo(
+            state0.v, sim.nlocal, params.mass, sim.scales
+        )
     print("%i\t%e\t%e" % (0, float(t0v), float(p0v)))
 
     if params.write_atom_file:
@@ -136,7 +144,11 @@ def main(argv=None) -> int:
         % (params.ntimes, out.temps[-1], out.press[-1])
     )
 
-    nghost = int(out.state.halo.nghost)
+    if params.scheme == "cluster":
+        # halo counts 16-atom j-cluster images
+        nghost = int(out.state.halo.nghost) * 16
+    else:
+        nghost = int(out.state.halo.nghost)
     t_force, t_neigh = sim.measure_phases(out.state)
     force_total = t_force * (params.ntimes + 1)
     neigh_total = t_neigh * (params.ntimes // params.reneigh_every)
@@ -163,9 +175,18 @@ def main(argv=None) -> int:
 
     if params.compute_stats:
         stats = Stats()
-        numneigh = np.asarray(out.state.nlist.numneigh[: sim.nlocal])
-        # approximate: final list's counts, applied to all evaluations
-        stats.accumulate_list(numneigh, params.ntimes + 1)
+        if params.scheme == "cluster":
+            # cluster-pair work: pair interactions = tiles * 128 atoms *
+            # 8 i-atoms is an overcount; report list-entry granularity
+            # (num_neighs analogue, reference clusterpair/stats.c:26-85)
+            rg = np.asarray(out.state.pairs.ranges)[:, 0, :]
+            tiles = int((rg[:, 16:32] - rg[:, :16]).sum())
+            stats.num_neighs = tiles * 8  # 16-atom j-clusters touched
+            stats.total_force_neighs = tiles * 128 * (params.ntimes + 1)
+            stats.total_force_iters = tiles * (params.ntimes + 1)
+        else:
+            numneigh = np.asarray(out.state.nlist.numneigh[: sim.nlocal])
+            stats.accumulate_list(numneigh, params.ntimes + 1)
         float_size = 8 if params.precision == "dp" else 4
         print(
             display_statistics(
@@ -177,9 +198,12 @@ def main(argv=None) -> int:
     if params.vtk_file:
         from mdbench_tpu.io.vtk import write_atoms_to_vtk_file
 
-        write_atoms_to_vtk_file(
-            params.vtk_file, np.asarray(out.state.x[: sim.nlocal]), params.ntimes
-        )
+        if params.scheme == "cluster":
+            xf, _vf = sim._flatten(out.state)
+            xs = np.asarray(xf[: sim.nlocal])
+        else:
+            xs = np.asarray(out.state.x[: sim.nlocal])
+        write_atoms_to_vtk_file(params.vtk_file, xs, params.ntimes)
     return 0
 
 

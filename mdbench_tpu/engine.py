@@ -11,13 +11,15 @@ Driver-loop parity (reference: src/verletlist/main.c:129-344):
       thermo at (n+1) % nstat == 0
   -> thermo(ntimes)
 
-TPU-native structure: the WHOLE loop — including reneighboring — is one
-jitted `lax.scan`; reneighbor steps take a `lax.cond` branch that wraps
-atoms, rebuilds the halo, re-bins, and rebuilds the neighbor list
-entirely on device. There are zero host round-trips inside a run;
-capacity-overflow flags are accumulated in the carry and checked once
-at the end (on overflow the host grows capacities and re-runs — the
-reference's RESIZE/realloc loops, amortized to whole-run granularity).
+TPU-native structure: the WHOLE loop — including reneighboring — runs
+inside one jitted program as nested scans (outer over reneighbor
+intervals, inner over plain steps; a lax.cond would execute the rebuild
+branch every step on TPU). Reneighboring wraps atoms, rebuilds the halo,
+re-bins, and rebuilds the neighbor list entirely on device. There are
+zero host round-trips inside a run; capacity-overflow flags accumulate
+in the carry and are checked once at the end (on overflow the host grows
+capacities and re-runs — the reference's RESIZE/realloc loops, amortized
+to whole-run granularity).
 """
 
 from __future__ import annotations
@@ -127,6 +129,15 @@ class Simulation:
                 raise ValueError("force_field=eam requires eam_file")
             self.eam_tables = load_eam(params.eam_file)
             apply_eam_overrides(params, self.eam_tables)
+        if x is None and params.input_file:
+            # file-provided systems are NOT thermo-adjusted
+            # (reference: setup() main.c:60-62)
+            from mdbench_tpu.io.readers import read_atom
+
+            r = read_atom(params)
+            x, v, types = r.x, r.v, r.types
+            if adjust is None:
+                adjust = False
         if x is None:
             x, v, types = create_fcc_lattice(params)
             if adjust is None:

@@ -36,6 +36,7 @@ from mdbench_tpu.ops.cluster import (
     build_clusters,
     compute_bboxes,
     make_cluster_grid,
+    make_j16_bboxes,
     setup_cluster_pbc,
     update_cluster_pbc,
 )
@@ -92,6 +93,17 @@ class ClusterSimulation:
                 "for EXPLICIT_TYPES workloads"
             )
         self.params = params
+        if x is None and params.input_file:
+            from mdbench_tpu.io.readers import read_atom
+
+            r = read_atom(params)
+            if r.ntypes != 1:
+                raise NotImplementedError(
+                    "cluster scheme is single-type; use scheme=verlet"
+                )
+            x, v = r.x, r.v
+            if adjust is None:
+                adjust = False
         if x is None:
             x, v, _ = create_fcc_lattice(params)
             if adjust is None:
@@ -118,7 +130,7 @@ class ClusterSimulation:
         n_clusters = int(cl_per_col.sum())
         blk = 8 * GROUP  # kernel writes 8 groups per output block
         self.n_clusters_pad = (int(n_clusters * 1.08) + blk) // blk * blk
-        self.ghost_cap = (
+        gc = (
             int(
                 self.n_clusters_pad
                 * ((1 + 2 * params.cutneigh / prd[0])
@@ -128,6 +140,7 @@ class ClusterSimulation:
             )
             + 64
         )
+        self.ghost_cap = (gc + 1) // 2 * 2  # even: rows pair into j16
         # per-group j-list capacity from dilated group-bbox volume
         zspan = GROUP * 8 / (sx * sy * params.rho)
         vol = (
@@ -135,7 +148,7 @@ class ClusterSimulation:
             * (sy + 2 * params.cutneigh + sy)
             * (zspan + 2 * params.cutneigh + 2.0)
         )
-        L = int(math.ceil(vol * params.rho / 8.0 * 1.35 / 16.0)) * 16
+        L = int(math.ceil(vol * params.rho / 16.0 * 1.45 / 8.0)) * 8
         self.list_cap = max(32, L)
 
         self._x0 = x
@@ -184,12 +197,17 @@ class ClusterSimulation:
         clusters = update_cluster_pbc(
             clusters, halo, self.n_clusters_pad, update_bbox=True
         )
-        cells, ovf_b = bin_clusters(self.grid, clusters)
+        bbox16 = make_j16_bboxes(clusters.bbox)
+        cells, (ovf_bcap, ovf_zext) = bin_clusters(self.grid, bbox16)
         pairs = build_cluster_pairs(
-            self.grid, cells, clusters, self.n_clusters_pad,
+            self.grid, cells, bbox16, clusters.bbox,
             self.n_clusters_pad, GROUP, self.list_cap,
         )
-        ovf = ovf_c | ovf_b | halo.overflow | pairs.overflow
+        # selective overflow flags -> targeted growth in run()
+        ovf = jnp.stack([
+            ovf_c, halo.overflow, ovf_bcap, ovf_zext,
+            pairs.overflow[0], pairs.overflow[1],
+        ])
         return clusters, (vxc, vyc, vzc), halo, pairs, ovf
 
     def _flatten(self, state: CStepState):
@@ -356,8 +374,8 @@ class ClusterSimulation:
         for _ in range(max_retries + 1):
             state0 = self.initial_state()
             jax.block_until_ready(state0)
-            if bool(state0.overflow):
-                self._grow()
+            if bool(np.any(np.asarray(state0.overflow))):
+                self._grow(np.asarray(state0.overflow))
                 continue
             run_fn = self._make_run_fn(ntimes)
             compiled = run_fn.lower(state0).compile()
@@ -365,27 +383,90 @@ class ClusterSimulation:
             state, (temps, press) = compiled(state0)
             _fence = float(jnp.sum(state.vxc[0]))
             total = time.perf_counter() - t0
-            if not bool(state.overflow):
+            flags = np.asarray(state.overflow)
+            if not flags.any():
                 return CRunResult(
                     temps=np.asarray(temps), press=np.asarray(press),
                     state=state, total_time=total,
                 )
-            self._grow()
+            self._grow(flags)
         raise RuntimeError("cluster capacity overflow persisted")
 
-    def _grow(self):
+    def _grow(self, flags=None):
+        """Targeted capacity growth. flags = [clusters, ghosts, bin_cap,
+        z_ext, pairs_nj, pairs_coverage]; None grows everything."""
+        if flags is None:
+            flags = np.ones(6, bool)
         blk = 8 * GROUP
-        self.n_clusters_pad = (int(self.n_clusters_pad * 1.3) + blk) // blk * blk
-        self.ghost_cap = int(self.ghost_cap * 1.4) + 64
-        self.list_cap = int(self.list_cap * 2) // 16 * 16
-        # widen the search geometry too: any of bin capacity, z-slop, or
-        # window coverage may have been the overflowing constraint
-        self.grid = make_cluster_grid(
-            self.prd, self.params.cutneigh, self.params.rho, GROUP,
-            bin_capacity=int(self.grid.bin_capacity * 1.3 + 3) // 4 * 4,
-            slop_z=self.grid.slop_z * 1.5,
-        )
+        if flags[0]:
+            self.n_clusters_pad = (
+                int(self.n_clusters_pad * 1.3) + blk
+            ) // blk * blk
+        if flags[1]:
+            self.ghost_cap = (int(self.ghost_cap * 1.4) + 64 + 1) // 2 * 2
+        if flags[4]:
+            self.list_cap = int(self.list_cap * 1.5 + 7) // 8 * 8
+        if flags[2] or flags[3] or flags[5]:
+            self.grid = make_cluster_grid(
+                self.prd, self.params.cutneigh, self.params.rho, GROUP,
+                bin_capacity=(
+                    int(self.grid.bin_capacity * 1.5 + 3) // 4 * 4
+                    if flags[2] else self.grid.bin_capacity
+                ),
+                slop_z=(
+                    self.grid.slop_z * 1.5 if flags[3] else self.grid.slop_z
+                ),
+                zspan_factor=(
+                    self.grid.zspan_factor * 1.3
+                    if flags[5] else self.grid.zspan_factor
+                ),
+            )
         self._build_device_state()
+
+    def measure_phases(self, state: CStepState, reps: int = 20):
+        """Out-of-band FORCE / NEIGH timing (see engine.Simulation)."""
+        @jax.jit
+        def force_reps(st):
+            def body(cl_x, _):
+                fx, fy, fz = self._force_from(
+                    st.clusters._replace(xc=cl_x), st.pairs
+                )
+                return cl_x + 1e-30 * fx[0, 0], ()
+            cl_x, _ = jax.lax.scan(
+                body, st.clusters.xc, None, length=reps
+            )
+            return cl_x
+
+        @jax.jit
+        def reneigh_reps(st):
+            n = max(reps // 4, 1)
+            def body(x_flat, _):
+                x2, _v, _h, pairs, _o = self._reneighbor_from_flat(
+                    x_flat, self.v_flat0
+                )
+                return x_flat + 1e-30 * pairs.nj[0].astype(x_flat.dtype), ()
+            x_flat, _ = jax.lax.scan(
+                body, self.x_flat0, None, length=n
+            )
+            return x_flat
+
+        import time as _time
+
+        r = force_reps(state)
+        _ = float(r[0, 0])
+        t0 = _time.perf_counter()
+        r = force_reps(state)
+        _ = float(r[0, 0])
+        t_force = (_time.perf_counter() - t0) / reps
+
+        n = max(reps // 4, 1)
+        r = reneigh_reps(state)
+        _ = float(r[0, 0])
+        t0 = _time.perf_counter()
+        r = reneigh_reps(state)
+        _ = float(r[0, 0])
+        t_neigh = (_time.perf_counter() - t0) / n
+        return t_force, t_neigh
 
     # convenience ----------------------------------------------------------
 

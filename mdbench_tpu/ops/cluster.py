@@ -36,7 +36,9 @@ import numpy as np
 
 from mdbench_tpu.state import SENTINEL_COORD
 
-M = 8  # atoms per cluster == f32 sublanes
+M = 8  # atoms per i-cluster == f32 sublanes
+N_J = 16  # atoms per j-cluster (M = N/2 geometry, reference force.h:74-91)
+TILE_J = 8  # j-clusters per 128-lane kernel tile
 
 
 class ClusterGrid(NamedTuple):
@@ -50,6 +52,7 @@ class ClusterGrid(NamedTuple):
     bin_capacity: int  # clusters per search bin
     stencil: tuple  # (Wx, Wy, Wz) candidate window in bins
     slop_z: float  # assumed max half-z-extent of any cluster (checked)
+    zspan_factor: float  # group z-extent headroom over the mean
     prd: tuple
     cutneigh: float
 
@@ -61,7 +64,7 @@ class ClusterGrid(NamedTuple):
 
 def make_cluster_grid(
     prd, cutneigh: float, rho: float, group: int,
-    bin_capacity: int = 0, slop_z: float = 0.0,
+    bin_capacity: int = 0, slop_z: float = 0.0, zspan_factor: float = 1.4,
 ) -> ClusterGrid:
     ncx = max(1, int(math.floor(prd[0] / cutneigh)))
     ncy = max(1, int(math.floor(prd[1] / cutneigh)))
@@ -75,13 +78,18 @@ def make_cluster_grid(
         mean = rho * sx * sy * sz / M
         bin_capacity = max(8, int(math.ceil(mean * 3.0 / 4.0)) * 4)
     if slop_z <= 0.0:
-        # expected z-extent of a full cluster, x2 headroom; bin_clusters
-        # verifies the bound at runtime and flags overflow if violated
-        slop_z = max(M / (sx * sy * rho), 0.3 * sz) * 1.0
+        # bound on a 16-atom j-cluster's half-z-extent (~full extent of
+        # 16 atoms / 2, x2 headroom); bin_clusters verifies the bound at
+        # runtime and flags overflow if violated
+        slop_z = max(N_J / (sx * sy * rho), 0.6 * sz)
     # candidate window: i-entity extent + 2*(cutneigh + j-half-extent).
     # xy half-extent of any cluster is col_size/2 exactly (clusters never
     # span columns); z half-extent is bounded by slop_z (checked).
-    zspan = group * M / (sx * sy * rho)  # typical group z extent
+    # worst-case group z extent: sparse columns (lattice/column aliasing)
+    # can hold well below the mean atom count, stretching groups in z;
+    # the pair search's coverage check flags it and the engine regrows
+    # with a larger factor if this bound is ever exceeded
+    zspan = group * M / (sx * sy * rho) * zspan_factor
 
     def win(extent, c, slop, binsize, maxdim):
         span = extent + 2.0 * (c + slop)
@@ -98,6 +106,7 @@ def make_cluster_grid(
         bin_capacity=bin_capacity,
         stencil=(wx, wy, wz),
         slop_z=slop_z,
+        zspan_factor=zspan_factor,
         prd=tuple(prd),
         cutneigh=cutneigh,
     )
@@ -206,7 +215,10 @@ def build_clusters(
     src = jnp.clip(col_start[c_col][:, None] + rank, 0, nlocal - 1)
     atom_rows = perm[src]  # (n_clusters_pad, M) original atom row
 
-    total = n_clusters_pad + ghost_capacity + 1
+    # two sentinel rows: row count stays even so rows pair into 16-atom
+    # j-clusters (M=N/2 geometry, reference force.h:74-91), and the last
+    # PAIR is all-sentinel — the j16 list padding target
+    total = n_clusters_pad + ghost_capacity + 2
 
     def plane(coord_col):
         v = jnp.where(valid, xl[atom_rows, coord_col], SENTINEL_COORD)
@@ -241,24 +253,28 @@ def setup_cluster_pbc(
     clusters: Clusters,
     n_clusters_local: int,
     n_clusters_pad: int,
-    ghost_capacity: int,
+    ghost_capacity: int,  # ghost ROW capacity (must be even)
     prd,
     pbc,
     cutneigh: float,
 ) -> ClusterHalo:
-    """Ghost creation at whole-cluster granularity (reference setupPbc,
-    src/clusterpair/pbc.c:144-299): a cluster spawns an image for shift s
-    iff its bbox is within cutneigh of the corresponding boundary."""
-    bb = clusters.bbox[:n_clusters_pad]
+    """Ghost creation at 16-atom j-cluster granularity (reference
+    setupPbc creates whole-j-cluster images, src/clusterpair/pbc.c:
+    144-299): a j16 PAIR of rows spawns an image for shift s iff its
+    union bbox is within cutneigh of the corresponding boundary. Pair
+    granularity keeps ghost rows paired with their real partner — a
+    row-granular halo would pair images of different shifts into one
+    j16 cluster and blow its bbox up to the box size."""
+    assert ghost_capacity % 2 == 0
+    gcap16 = ghost_capacity // 2
+    n16 = n_clusters_pad // 2
+    bb16 = make_j16_bboxes(clusters.bbox[:n_clusters_pad])  # (n16, 8)
     dtype = clusters.xc.dtype
     prd_v = np.asarray(prd, np.float64)
     pbc_v = np.asarray(pbc, np.int32)
 
-    cl_valid = (
-        jnp.arange(n_clusters_pad, dtype=jnp.int32) < n_clusters_local
-    )
-    lo = jnp.stack([bb[:, 0], bb[:, 2], bb[:, 4]], axis=1) < cutneigh
-    hi = jnp.stack([bb[:, 1], bb[:, 3], bb[:, 5]], axis=1) >= (
+    lo = jnp.stack([bb16[:, 0], bb16[:, 2], bb16[:, 4]], axis=1) < cutneigh
+    hi = jnp.stack([bb16[:, 1], bb16[:, 3], bb16[:, 5]], axis=1) >= (
         jnp.asarray(prd_v, dtype) - cutneigh
     )
 
@@ -278,31 +294,29 @@ def setup_cluster_pbc(
     sh = jnp.asarray(shifts)
     pos_ok = jnp.where(sh[None] == 1, lo[:, None, :], True)
     neg_ok = jnp.where(sh[None] == -1, hi[:, None, :], True)
-    valid = (
-        jnp.all(pos_ok & neg_ok, axis=2) & pbc_ok[None, :] & cl_valid[:, None]
-    )
+    # all-sentinel pairs fail both boundary tests automatically
+    valid = jnp.all(pos_ok & neg_ok, axis=2) & pbc_ok[None, :]
 
     flat = valid.reshape(-1)
     pos = jnp.cumsum(flat) - 1
     nghost = jnp.sum(flat).astype(jnp.int32)
-    overflow = nghost > ghost_capacity
-    pos = jnp.where(flat & (pos < ghost_capacity), pos, ghost_capacity)
+    overflow = nghost > gcap16
+    pos = jnp.where(flat & (pos < gcap16), pos, gcap16)
 
     cl_ids = jnp.broadcast_to(
-        jnp.arange(n_clusters_pad, dtype=jnp.int32)[:, None],
-        (n_clusters_pad, 26),
+        jnp.arange(n16, dtype=jnp.int32)[:, None], (n16, 26)
     ).reshape(-1)
     shift_vec = jnp.broadcast_to(
         (sh.astype(dtype) * jnp.asarray(prd_v, dtype))[None],
-        (n_clusters_pad, 26, 3),
+        (n16, 26, 3),
     ).reshape(-1, 3)
 
-    sentinel = clusters.xc.shape[0] - 1
-    border_map = jnp.full((ghost_capacity,), sentinel, jnp.int32)
+    sentinel16 = clusters.xc.shape[0] // 2 - 1
+    border_map = jnp.full((gcap16,), sentinel16, jnp.int32)
     border_map = border_map.at[pos].set(cl_ids, mode="drop")
-    sxv = jnp.zeros((ghost_capacity,), dtype).at[pos].set(shift_vec[:, 0], mode="drop")
-    syv = jnp.zeros((ghost_capacity,), dtype).at[pos].set(shift_vec[:, 1], mode="drop")
-    szv = jnp.zeros((ghost_capacity,), dtype).at[pos].set(shift_vec[:, 2], mode="drop")
+    sxv = jnp.zeros((gcap16,), dtype).at[pos].set(shift_vec[:, 0], mode="drop")
+    syv = jnp.zeros((gcap16,), dtype).at[pos].set(shift_vec[:, 1], mode="drop")
+    szv = jnp.zeros((gcap16,), dtype).at[pos].set(shift_vec[:, 2], mode="drop")
     return ClusterHalo(
         border_map=border_map, shift_x=sxv, shift_y=syv, shift_z=szv,
         nghost=nghost, overflow=overflow,
@@ -314,34 +328,43 @@ def update_cluster_pbc(
     update_bbox: bool,
 ) -> Clusters:
     """Refresh ghost cluster planes from owners (reference updatePbc,
-    clusterpair/pbc.c:45-113): row gather + shift."""
+    clusterpair/pbc.c:45-113): row gather + shift. Each j16 ghost
+    occupies two consecutive rows = the owner pair's rows shifted."""
     g0 = n_clusters_pad
-    gcap = halo.border_map.shape[0]
-    xg = clusters.xc[halo.border_map] + halo.shift_x[:, None]
-    yg = clusters.yc[halo.border_map] + halo.shift_y[:, None]
-    zg = clusters.zc[halo.border_map] + halo.shift_z[:, None]
-    xc = clusters.xc.at[g0 : g0 + gcap].set(xg)
-    yc = clusters.yc.at[g0 : g0 + gcap].set(yg)
-    zc = clusters.zc.at[g0 : g0 + gcap].set(zg)
+    gcap16 = halo.border_map.shape[0]
+    # expand j16 map to row granularity: ghost rows (2g, 2g+1) <- owner
+    # rows (2*bm, 2*bm+1)
+    row_map = (2 * halo.border_map[:, None]
+               + jnp.arange(2, dtype=jnp.int32)[None, :]).reshape(-1)
+    shx = jnp.repeat(halo.shift_x, 2)
+    shy = jnp.repeat(halo.shift_y, 2)
+    shz = jnp.repeat(halo.shift_z, 2)
+
+    xg = clusters.xc[row_map] + shx[:, None]
+    yg = clusters.yc[row_map] + shy[:, None]
+    zg = clusters.zc[row_map] + shz[:, None]
+    nrows_g = 2 * gcap16
+    xc = clusters.xc.at[g0 : g0 + nrows_g].set(xg)
+    yc = clusters.yc.at[g0 : g0 + nrows_g].set(yg)
+    zc = clusters.zc.at[g0 : g0 + nrows_g].set(zg)
     if update_bbox:
-        bbg = clusters.bbox[halo.border_map]
+        bbg = clusters.bbox[row_map]
         shift8 = jnp.stack(
-            [halo.shift_x, halo.shift_x, halo.shift_y, halo.shift_y,
-             halo.shift_z, halo.shift_z,
-             jnp.zeros_like(halo.shift_x), jnp.zeros_like(halo.shift_x)],
+            [shx, shx, shy, shy, shz, shz,
+             jnp.zeros_like(shx), jnp.zeros_like(shx)],
             axis=1,
         )
-        bbox = clusters.bbox.at[g0 : g0 + gcap].set(bbg + shift8)
+        bbox = clusters.bbox.at[g0 : g0 + nrows_g].set(bbg + shift8)
     else:
         bbox = clusters.bbox
     return clusters._replace(xc=xc, yc=yc, zc=zc, bbox=bbox)
 
 
-def bin_clusters(grid: ClusterGrid, clusters: Clusters):
-    """Bin all clusters (local + ghost) by bbox center into (col, zslab)
-    search bins (reference binClusters, neighbor.c:875-1021) — the same
-    sort + ranked scatter as the atom cell list."""
-    bb = clusters.bbox
+def bin_clusters(grid: ClusterGrid, bb: jnp.ndarray):
+    """Bin clusters (any granularity — callers pass 8-atom or 16-atom
+    j-cluster bboxes) by bbox center into (col, zslab) search bins
+    (reference binClusters, neighbor.c:875-1021) — the same sort +
+    ranked scatter as the atom cell list."""
     ctr_x = 0.5 * (bb[:, 0] + bb[:, 1])
     ctr_y = 0.5 * (bb[:, 2] + bb[:, 3])
     ctr_z = 0.5 * (bb[:, 4] + bb[:, 5])
@@ -373,7 +396,8 @@ def bin_clusters(grid: ClusterGrid, clusters: Clusters):
     rank = jnp.arange(nrows, dtype=jnp.int32) - starts[sorted_ids].astype(jnp.int32)
     valid = sorted_ids < grid.nbins
     in_cap = rank < grid.bin_capacity
-    overflow = jnp.any(valid & ~in_cap) | jnp.any(~z_ext_ok)
+    ovf_cap = jnp.any(valid & ~in_cap)
+    ovf_zext = jnp.any(~z_ext_ok)
     pos = jnp.where(
         valid & in_cap,
         sorted_ids.astype(jnp.int32) * grid.bin_capacity + rank,
@@ -381,32 +405,32 @@ def bin_clusters(grid: ClusterGrid, clusters: Clusters):
     )
     cells = jnp.full(((grid.nbins + 1) * grid.bin_capacity,), sentinel, jnp.int32)
     cells = cells.at[pos].set(order.astype(jnp.int32), mode="drop")
-    return cells.reshape(grid.nbins + 1, grid.bin_capacity), overflow
+    return cells.reshape(grid.nbins + 1, grid.bin_capacity), (ovf_cap, ovf_zext)
 
 
 def build_cluster_pairs(
     grid: ClusterGrid,
-    cells: jnp.ndarray,  # (nbins+1, cap)
-    clusters: Clusters,
-    n_clusters_local: int,
+    cells: jnp.ndarray,  # (nbins+1, cap) — j16-cluster ids
+    jbbox: jnp.ndarray,  # (Cj, 8) 16-atom j-cluster bboxes
+    ibbox: jnp.ndarray,  # (>= n_clusters_pad, 8) i-cluster (8-atom) bboxes
     n_clusters_pad: int,
     group: int,
     list_capacity: int,
     chunk: int = 256,
 ) -> ClusterPairList:
-    """Shared j-list per group of `group` consecutive i-clusters
-    (reference buildNeighbor, neighbor.c:176-436, re-shaped: per-group
-    union lists feed the 8x128 kernel; bbox distance is the only prune).
-    """
+    """Shared j16-cluster list per group of `group` consecutive
+    i-clusters (reference buildNeighbor, neighbor.c:176-436, re-shaped:
+    per-group z-sorted union lists with per-i-cluster tile windows feed
+    the 8x128 kernel; bbox distance is the only prune)."""
     ng = n_clusters_pad // group
     dims = grid.bin_dims
     size = grid.bin_size
     cap = grid.bin_capacity
     wx, wy, wz = grid.stencil
     cutsq = grid.cutneigh * grid.cutneigh
-    sentinel = clusters.xc.shape[0] - 1
+    sentinel = jbbox.shape[0] - 1
 
-    bb_local = clusters.bbox[:n_clusters_pad].reshape(ng, group, 8)
+    bb_local = ibbox[:n_clusters_pad].reshape(ng, group, 8)
     # group bbox = union over members (sentinel members auto-inert)
     gmin_x = jnp.min(bb_local[:, :, 0], axis=1)
     gmax_x = jnp.max(bb_local[:, :, 1], axis=1)
@@ -463,7 +487,7 @@ def build_cluster_pairs(
         cand_bins = base[:, None] + offs_j[None, :]  # (chunk, 16*SZ)
         cand = cells[cand_bins].reshape(chunk, -1)  # (chunk, ncand)
 
-        cb = clusters.bbox[cand]  # (chunk, ncand, 8) row gather
+        cb = jbbox[cand]  # (chunk, ncand, 8) row gather
         # bbox-to-bbox distance vs group bbox
         def gap(lo_i, hi_i, lo_j, hi_j):
             return jnp.maximum(
@@ -488,8 +512,8 @@ def build_cluster_pairs(
         jl = jl_sorted[:, :list_capacity]
         zs = zs[:, :list_capacity]
 
-        # per-member tile ranges (16 j-clusters per kernel tile).
-        # j needed iff zmax_j >= zmin_i - c and zmin_j <= zmax_i + c;
+        # per-member tile ranges (8 j16-clusters = 128 atoms per kernel
+        # tile). j needed iff zmax_j >= zmin_i - c and zmin_j <= zmax_i+c;
         # zmax_j <= zmin_j + 2*slop_z makes the start bound conservative.
         bbm = bb_local[gsafe]  # (chunk, group, 8)
         zmin_i = bbm[:, :, 4]
@@ -504,21 +528,46 @@ def build_cluster_pairs(
         ).astype(jnp.int32)
         end = jnp.minimum(end, jnp.minimum(nj, list_capacity)[:, None])
         start = jnp.minimum(start, end)
-        start16 = start // 16
-        end16 = (end + 15) // 16
-        njg_g = jnp.max(end16, axis=1, keepdims=True)  # (chunk, 1)
-        ranges = jnp.concatenate([start16, end16, njg_g], axis=1)
+        start_t = start // TILE_J
+        end_t = (end + TILE_J - 1) // TILE_J
+        njg_g = jnp.max(end_t, axis=1, keepdims=True)  # (chunk, 1)
+        ranges = jnp.concatenate([start_t, end_t, njg_g], axis=1)
 
-        ovf = jnp.any(nj > list_capacity) | jnp.any(~covered)
-        return jl, ranges, nj, ovf
+        ovf_nj = jnp.any(nj > list_capacity)
+        ovf_cov = jnp.any(~covered)
+        return jl, ranges, nj, ovf_nj, ovf_cov
 
     ngpad = ((ng + chunk - 1) // chunk) * chunk
     starts = jnp.arange(0, ngpad, chunk, dtype=jnp.int32)
-    jls, rgs, njs, ovfs = jax.lax.map(chunk_fn, starts)
+    jls, rgs, njs, ovf_njs, ovf_covs = jax.lax.map(chunk_fn, starts)
     jlist = jls.reshape(-1, list_capacity)[:ng].reshape(ng, 1, list_capacity)
     rdim = 2 * group + 1
     ranges = rgs.reshape(-1, rdim)[:ng].reshape(ng, 1, rdim)
     nj = njs.reshape(-1)[:ng]
     return ClusterPairList(
-        jlist=jlist, ranges=ranges, nj=nj, overflow=jnp.any(ovfs)
+        jlist=jlist, ranges=ranges, nj=nj,
+        overflow=jnp.stack([jnp.any(ovf_njs), jnp.any(ovf_covs)]),
+    )
+
+
+def make_j16_bboxes(bbox: jnp.ndarray) -> jnp.ndarray:
+    """Combine row pairs (2k, 2k+1) into 16-atom j-cluster bboxes
+    (the reference M=N/2 j-cluster derivation, defineJClusters,
+    neighbor.c:755-873). Requires an even row count; per-column cluster
+    counts are padded to multiples of GROUP=16 so pairs never straddle
+    columns."""
+    b0 = bbox[0::2]
+    b1 = bbox[1::2]
+    return jnp.stack(
+        [
+            jnp.minimum(b0[:, 0], b1[:, 0]),
+            jnp.maximum(b0[:, 1], b1[:, 1]),
+            jnp.minimum(b0[:, 2], b1[:, 2]),
+            jnp.maximum(b0[:, 3], b1[:, 3]),
+            jnp.minimum(b0[:, 4], b1[:, 4]),
+            jnp.maximum(b0[:, 5], b1[:, 5]),
+            jnp.zeros_like(b0[:, 0]),
+            jnp.zeros_like(b0[:, 0]),
+        ],
+        axis=1,
     )

@@ -44,7 +44,8 @@ GROUP = 16  # i-clusters per shared j-list; GROUP*8 = 128 output lanes
 
 
 def _kernel(
-    jl_ref, rg_ref, xc_ref, yc_ref, zc_ref, fx_ref, fy_ref, fz_ref,
+    jl_ref, rg_ref, pk_ref, xc_ref, yc_ref, zc_ref,
+    fx_ref, fy_ref, fz_ref,
     sx, sy, sz, ax, ay, az,
     *, list_cap: int, cutforcesq: float, sigma6: float, epsilon: float,
     approx_rcp: bool,
@@ -69,53 +70,72 @@ def _kernel(
     starts = [rg_ref[0, 0, ic] for ic in range(GROUP)]
     ends = [rg_ref[0, 0, GROUP + ic] for ic in range(GROUP)]
 
-    def jg_body(jg, _):
-        # pack 16 j-clusters into 128 lanes (3 coord planes + atom ids)
-        for k in range(16):
-            cj = jl_ref[0, 0, jg * 16 + k]
-            sx[0:1, 8 * k : 8 * (k + 1)] = xc_ref[pl.ds(cj, 1), :]
-            sy[0:1, 8 * k : 8 * (k + 1)] = yc_ref[pl.ds(cj, 1), :]
-            sz[0:1, 8 * k : 8 * (k + 1)] = zc_ref[pl.ds(cj, 1), :]
-        xj = sx[:]
-        yj = sy[:]
-        zj = sz[:]
+    def load_slab(jg):
+        """Issue the 8 packed-row loads for slab jg (clamped).
+        Loads are j-cluster (1, 48) rows of [x0..15 | y0..15 | z0..15]."""
+        jg = jnp.clip(jg, 0, jnp.maximum(njg - 1, 0))  # njg can be 0
+        rows = []
+        for k in range(8):
+            cj = jl_ref[0, 0, jg * 8 + k]
+            rows.append(pk_ref[pl.ds(cj, 1), :])  # (1, 48)
+        return tuple(rows)
 
-        for ic in range(GROUP):
-            # per-member z-window: skip the whole tile when this
-            # i-cluster can't reach any j in this 16-cluster slab — a
-            # real scalar branch (cheap on the TPU scalar core), which is
-            # how per-cluster pruning survives group-shared loads
-            active = (jg >= starts[ic]) & (jg < ends[ic])
+    def jg_body(jg, rows):
+        """Software-pipelined: compute slab jg-1 from rows loaded last
+        iteration while this iteration's loads are in flight — dynamic
+        VMEM loads are latency-bound, not throughput-bound, so hiding
+        them behind the tile math is worth ~2x."""
+        next_rows = load_slab(jg)
 
-            @pl.when(active)
-            def _(ic=ic):
-                xic = xis[ic]
-                yic = yis[ic]
-                zic = zis[ic]
-                dx = xic - xj
-                dy = yic - yj
-                dz = zic - zj
-                rsq = dx * dx + dy * dy + dz * dz
-                # rsq > 0 excludes the only id-equal pairs (an atom vs
-                # itself on the cluster diagonal has exactly rsq == 0),
-                # so no atom-id compare is needed at all
-                mask = (rsq < cutforcesq) & (rsq > 0.0)
-                rs = jnp.where(mask, rsq, 1.0)
-                if approx_rcp:
-                    sr2 = pl.reciprocal(rs, approx=True)
-                else:
-                    sr2 = 1.0 / rs
-                sr6 = sr2 * sr2 * sr2 * sigma6
-                gf = jnp.where(
-                    mask, 48.0 * epsilon * sr6 * (sr6 - 0.5) * sr2, 0.0
-                )
-                r0 = ic * 8
-                ax[r0 : r0 + 8, :] += dx * gf
-                ay[r0 : r0 + 8, :] += dy * gf
-                az[r0 : r0 + 8, :] += dz * gf
-        return 0
+        @pl.when(jg >= 1)
+        def _():
+            for k in range(8):
+                row = rows[k]
+                sx[0:1, 16 * k : 16 * (k + 1)] = row[0:1, 0:16]
+                sy[0:1, 16 * k : 16 * (k + 1)] = row[0:1, 16:32]
+                sz[0:1, 16 * k : 16 * (k + 1)] = row[0:1, 32:48]
+            xj = sx[:]
+            yj = sy[:]
+            zj = sz[:]
+            slab = jg - 1
+            for ic in range(GROUP):
+                # per-member z-window: skip the whole tile when this
+                # i-cluster can't reach any j in this slab — a real
+                # scalar branch, which is how per-cluster pruning
+                # survives group-shared loads
+                active = (slab >= starts[ic]) & (slab < ends[ic])
 
-    jax.lax.fori_loop(0, njg, jg_body, 0)
+                @pl.when(active)
+                def _(ic=ic):
+                    xic = xis[ic]
+                    yic = yis[ic]
+                    zic = zis[ic]
+                    dx = xic - xj
+                    dy = yic - yj
+                    dz = zic - zj
+                    rsq = dx * dx + dy * dy + dz * dz
+                    # rsq > 0 excludes the only id-equal pairs (an atom
+                    # vs itself on the cluster diagonal has rsq == 0
+                    # exactly), so no atom-id compare is needed at all
+                    mask = (rsq < cutforcesq) & (rsq > 0.0)
+                    rs = jnp.where(mask, rsq, 1.0)
+                    if approx_rcp:
+                        sr2 = pl.reciprocal(rs, approx=True)
+                    else:
+                        sr2 = 1.0 / rs
+                    sr6 = sr2 * sr2 * sr2 * sigma6
+                    gf = jnp.where(
+                        mask, 48.0 * epsilon * sr6 * (sr6 - 0.5) * sr2, 0.0
+                    )
+                    r0 = ic * 8
+                    ax[r0 : r0 + 8, :] += dx * gf
+                    ay[r0 : r0 + 8, :] += dy * gf
+                    az[r0 : r0 + 8, :] += dz * gf
+
+        return next_rows
+
+    rows0 = load_slab(jnp.int32(0))
+    jax.lax.fori_loop(1, njg + 1, jg_body, rows0)
 
     # lane reduction: out[0, s] = sum_l acc[s, l] via a dot_general that
     # contracts the rhs lane dim (output lane s = accumulator sublane s,
@@ -135,8 +155,8 @@ def _kernel(
 
 
 def lj_cluster_force_pallas(
-    xc, yc, zc,  # (C_total, 8) coordinate planes
-    jlist,  # (NG, 1, L) int32
+    xc, yc, zc,  # (C_total, 8) coordinate planes (i-side reads)
+    jlist,  # (NG, 1, L) int32 — 16-atom j-cluster ids
     ranges,  # (NG, 1, 2*GROUP+1) int32 per-member tile windows
     n_clusters_pad: int,
     group: int,
@@ -149,11 +169,18 @@ def lj_cluster_force_pallas(
     """Returns (fxc, fyc, fzc) each (n_clusters_pad, 8)."""
     ng, _, list_cap = jlist.shape
     assert group == GROUP, "pallas kernel is specialized to GROUP=16"
-    assert list_cap % 16 == 0
+    assert list_cap % 8 == 0
     assert ng * group == n_clusters_pad
     assert ng % 8 == 0, "n_clusters_pad must be a multiple of 8*GROUP"
+    assert xc.shape[0] % 2 == 0, "row count must pair into j16 clusters"
     rdim = ranges.shape[2]
     dtype = xc.dtype
+    cj = xc.shape[0] // 2
+    # interleaved j16 plane [x0..15 | y0..15 | z0..15] per 16-atom cluster
+    packed = jnp.concatenate(
+        [xc.reshape(cj, 16), yc.reshape(cj, 16), zc.reshape(cj, 16)],
+        axis=1,
+    )
 
     kern = functools.partial(
         _kernel,
@@ -172,6 +199,7 @@ def lj_cluster_force_pallas(
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, rdim), lambda g: (g, 0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -194,7 +222,7 @@ def lj_cluster_force_pallas(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(jlist, ranges, xc, yc, zc)
+    )(jlist, ranges, packed, xc, yc, zc)
     fx, fy, fz = out
     return (
         fx.reshape(n_clusters_pad, 8),
@@ -212,29 +240,24 @@ def lj_cluster_force_xla(
     same purpose, computeForceLJRef, force_lj.c:47-165)."""
     ng, _, L = jlist.shape
     jl = jlist.reshape(ng, L)
-    # gather j-cluster planes: (ng, L, 8)
-    xj = xc[jl]
-    yj = yc[jl]
-    zj = zc[jl]
-    jid = jl[:, :, None] * 8 + jnp.arange(8, dtype=jnp.int32)[None, None, :]
-    xj = xj.reshape(ng, 1, L * 8)
-    yj = yj.reshape(ng, 1, L * 8)
-    zj = zj.reshape(ng, 1, L * 8)
-    jid = jid.reshape(ng, 1, L * 8)
+    # gather 16-atom j-cluster planes: (ng, L, 16)
+    cjn = xc.shape[0] // 2
+    x16 = xc.reshape(cjn, 16)
+    y16 = yc.reshape(cjn, 16)
+    z16 = zc.reshape(cjn, 16)
+    xj = x16[jl].reshape(ng, 1, L * 16)
+    yj = y16[jl].reshape(ng, 1, L * 16)
+    zj = z16[jl].reshape(ng, 1, L * 16)
 
     xi = xc[: n_clusters_pad].reshape(ng, group * 8, 1)
     yi = yc[: n_clusters_pad].reshape(ng, group * 8, 1)
     zi = zc[: n_clusters_pad].reshape(ng, group * 8, 1)
-    cid = jnp.arange(n_clusters_pad, dtype=jnp.int32)
-    iid = (cid[:, None] * 8 + jnp.arange(8, dtype=jnp.int32)[None, :]).reshape(
-        ng, group * 8, 1
-    )
 
     dx = xi - xj
     dy = yi - yj
     dz = zi - zj
     rsq = dx * dx + dy * dy + dz * dz
-    mask = (rsq < cutforcesq) & (jid != iid) & (rsq > 0.0)
+    mask = (rsq < cutforcesq) & (rsq > 0.0)
     rs = jnp.where(mask, rsq, 1.0)
     sr2 = 1.0 / rs
     sr6 = sr2 * sr2 * sr2 * sigma6

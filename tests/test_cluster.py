@@ -43,7 +43,7 @@ def test_cluster_short_run_matches_verlet_engine():
     out_c = ClusterSimulation(pc).run()
     np.testing.assert_allclose(out_c.temps, out_v.temps, rtol=1e-8)
     np.testing.assert_allclose(out_c.press, out_v.press, rtol=1e-8)
-    assert not bool(out_c.state.overflow)
+    assert not np.asarray(out_c.state.overflow).any()
 
 
 def test_cluster_capacity_overflow_recovers():
@@ -51,6 +51,6 @@ def test_cluster_capacity_overflow_recovers():
     p = Params(nx=3, ny=3, nz=3, ntimes=5, reneigh_every=5, kernel="xla")
     sim = ClusterSimulation(p)
     sim.list_cap = 16  # far too small on purpose
-    out = sim.run()
-    assert not bool(out.state.overflow)
+    out = sim.run(max_retries=8)
+    assert not np.asarray(out.state.overflow).any()
     assert np.isfinite(out.temps).all()

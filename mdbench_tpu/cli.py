@@ -134,7 +134,31 @@ def main(argv=None) -> int:
 
         write_atom(params.write_atom_file, sim, state0)
 
-    out = sim.run()
+    want_traj = bool(params.vtk_file or params.xtc_file)
+    if want_traj and params.scheme != "cluster":
+        from mdbench_tpu.io.vtk import write_atoms_to_vtk_file
+        from mdbench_tpu.io.trr import xtc_end, xtc_init
+
+        writer = None
+        if params.xtc_file:
+            writer = xtc_init(
+                params.xtc_file, (params.xprd, params.yprd, params.zprd)
+            )
+        chunk = params.x_out_every
+
+        def emit(state, step):
+            xs = np.asarray(state.x[: sim.nlocal])
+            if params.vtk_file:
+                write_atoms_to_vtk_file(params.vtk_file, xs, step)
+            if writer is not None:
+                writer.write(xs, step, step * params.dt)
+
+        nchunks = max(params.ntimes // chunk, 1)
+        out = sim.run_chunked(chunk, nchunks, emit)
+        if writer is not None:
+            xtc_end(writer)
+    else:
+        out = sim.run()
 
     # thermo rows at nstat cadence (reference: main.c:275-280, 289)
     for n in range(params.nstat, params.ntimes, params.nstat):

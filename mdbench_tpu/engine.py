@@ -375,6 +375,33 @@ class Simulation:
             self._build_device_state()
         raise RuntimeError("capacity overflow persisted after retries")
 
+    def run_chunked(self, chunk: int, nchunks: int, callback):
+        """Run in host-visible chunks for trajectory output: the fused
+        scan covers `chunk` steps per call; `callback(state, step)` runs
+        on host between chunks (the reference writes VTK/XTC inside its
+        loop, main.c:282-284 — here output cadence must divide into
+        chunks, e.g. chunk = x_out_every)."""
+        state = self.initial_state()
+        jax.block_until_ready(state)
+        callback(state, 0)
+        run_fn = self._make_run_fn(chunk)
+        compiled = run_fn.lower(state, jnp.zeros((0,))).compile()
+        temps_all, press_all = [], []
+        t0 = time.perf_counter()
+        for c in range(nchunks):
+            state, (temps, press) = compiled(state, jnp.zeros((0,)))
+            callback(state, (c + 1) * chunk)
+            temps_all.append(np.asarray(temps))
+            press_all.append(np.asarray(press))
+        _fence = float(jnp.sum(state.v[0]))
+        total = time.perf_counter() - t0
+        return RunResult(
+            temps=np.concatenate(temps_all),
+            press=np.concatenate(press_all),
+            state=state, total_time=total,
+            force_time=float("nan"), neigh_time=float("nan"),
+        )
+
     def measure_phases(self, state: StepState, reps: int = 20):
         """Out-of-band FORCE / NEIGH phase timing.
 

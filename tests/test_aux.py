@@ -1,0 +1,83 @@
+"""Auxiliary subsystems: stub benchmark, checkpoint/resume, tracing
+dumps, TRR trajectory round-trip."""
+
+import numpy as np
+import pytest
+
+from mdbench_tpu.config import Params
+from mdbench_tpu.engine import Simulation
+from mdbench_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+from mdbench_tpu.io.trr import read_trr, xtc_end, xtc_init, xtc_write
+from mdbench_tpu.stub import create_neighbors, run_stub
+from mdbench_tpu.tracing import dump_index_trace
+
+
+def test_stub_patterns():
+    n, nn = 64, 8
+    for pattern in ("seq", "fix", "rand"):
+        neigh, numneigh = create_neighbors(n, pattern, nn, nreps=2)
+        assert neigh.shape == (n, nn * 2)
+        assert (numneigh == nn * 2).all()
+        # replication (main-stub.c:97-102)
+        np.testing.assert_array_equal(neigh[:, :nn], neigh[:, nn:])
+        if pattern == "rand":
+            for i in range(n):
+                assert i not in neigh[i]
+                assert len(set(neigh[i, :nn])) == nn
+    assert (create_neighbors(n, "seq", nn, 1)[0][5, 0]) == 6
+
+
+def test_stub_runs(capsys):
+    r = run_stub(natoms=512, nneighs=16, ntimes=5, csv=True)
+    assert r["mega_updates"] > 0
+    out = capsys.readouterr().out
+    assert "steps,pattern" in out
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    p = Params(nx=3, ny=3, nz=3, ntimes=10, reneigh_every=5)
+    sim = Simulation(p)
+    out = sim.run()
+    path = str(tmp_path / "ck.npz")
+    save_checkpoint(path, sim, out.state, step=10)
+    x, v, meta = load_checkpoint(path)
+    assert meta["step"] == 10
+    assert x.shape == (sim.natoms, 3)
+    # resume: new sim continues from the checkpoint
+    sim2 = Simulation(p, x=x, v=v, types=np.zeros(len(x), np.int32),
+                      adjust=False)
+    out2 = sim2.run(ntimes=5)
+    assert np.isfinite(out2.temps).all()
+    # continuity: first post-resume temperature close to last pre-save
+    assert abs(out2.temps[0] - out.temps[-1]) < 0.2
+
+
+def test_index_trace_dump(tmp_path):
+    p = Params(nx=3, ny=3, nz=3)
+    sim = Simulation(p)
+    st = sim.initial_state()
+    path = dump_index_trace(
+        str(tmp_path) + "/", st.nlist.neighbors[: sim.nlocal],
+        st.nlist.numneigh[: sim.nlocal], step=0,
+    )
+    lines = open(path).read().splitlines()
+    assert lines[0].startswith("A: 0 ")
+    assert any(l.startswith("C: ") for l in lines)
+    assert any(l.startswith("I: ") for l in lines)
+
+
+def test_trr_roundtrip(tmp_path):
+    rng = np.random.default_rng(1)
+    x1 = rng.random((100, 3)) * 10
+    x2 = x1 + 0.1
+    w = xtc_init(str(tmp_path / "traj"), box=(10.0, 11.0, 12.0))
+    xtc_write(w, x1, step=0, time=0.0)
+    xtc_write(w, x2, step=20, time=0.1)
+    xtc_end(w)
+    frames = read_trr(w.path)
+    assert len(frames) == 2
+    step, t, box, x, v = frames[0]
+    assert step == 0 and box == (10.0, 11.0, 12.0)
+    np.testing.assert_allclose(x, x1, atol=1e-5)
+    assert frames[1][0] == 20
+    np.testing.assert_allclose(frames[1][3], x2, atol=1e-5)

@@ -1,0 +1,439 @@
+"""Production multi-chip spatial domain decomposition (verlet scheme).
+
+The reference is single-node; its ghost-atom PBC machinery (border_map +
+shift vectors, src/verletlist/pbc.c) is exactly the pattern that
+generalizes to chips (SURVEY §5.8). Decomposition: 1-D slabs along x
+over a `jax.sharding.Mesh`; everything below runs inside `shard_map`,
+so each device executes the same single-chip machinery (cells, padded
+Verlet lists, planar LJ) on its slab, and the only cross-chip traffic is
+`lax.ppermute` of fixed-capacity buffers over ICI:
+
+  reneighbor (every reneigh_every steps, all inside the jitted scan):
+    wrap -> MIGRATE atoms that crossed a slab face (pack leavers into
+    fixed buffers, ppermute left/right, merge) -> local y/z ghost build
+    (setup_pbc with pbc=(0,1,1)) -> export both x-face boundary regions
+    (locals + their y/z images, so edge/corner images ride along) ->
+    ppermute -> received buffers become x-ghost rows -> bin + build
+    padded neighbor lists per device
+  every step:
+    integrate -> refresh local y/z ghosts -> re-gather the exported
+    border rows, ppermute both directions, refresh x-ghost rows ->
+    force -> integrate (the reference's updatePbc, with the gather
+    crossing chips)
+
+Correctness requires slab width >= cutneigh and that atoms drift at most
+one slab per reneighbor interval (flagged). Per-device row layout:
+  [0, acap)               local atoms (sentinel padded)
+  [acap, acap+gcap)       local y/z ghosts
+  [+bcap)                 x-ghosts received from the left neighbor
+  [+bcap)                 x-ghosts received from the right neighbor
+  [last]                  sentinel row
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from mdbench_tpu.config import Params
+from mdbench_tpu.models.lattice import create_fcc_lattice
+from mdbench_tpu.ops.cells import make_cell_grid, build_cells
+from mdbench_tpu.ops.lj import compute_force_lj_full
+from mdbench_tpu.ops.pbc import setup_pbc, update_pbc
+from mdbench_tpu.ops.verlet import build_neighbors
+from mdbench_tpu.state import SENTINEL_COORD
+from mdbench_tpu.thermo import adjust_thermo, setup_thermo
+
+AXIS = "x"
+
+
+class DomainState(NamedTuple):
+    """Per-device arrays, sharded over the leading mesh axis."""
+
+    x: jnp.ndarray  # (ndev, nrows, 3) — locals+ghosts+sentinel, slab frame
+    v: jnp.ndarray  # (ndev, acap, 3)
+    f: jnp.ndarray  # (ndev, acap, 3)
+    nlocal: jnp.ndarray  # (ndev,) int32 — live atoms per device
+    halo_map: jnp.ndarray  # (ndev, gcap) local y/z ghost owner rows
+    halo_shift: jnp.ndarray  # (ndev, gcap, 3)
+    bmap_l: jnp.ndarray  # (ndev, bcap) rows exported to the LEFT neighbor
+    bmap_r: jnp.ndarray  # (ndev, bcap)
+    neighbors: jnp.ndarray  # (ndev, acap, maxneighs)
+    numneigh: jnp.ndarray  # (ndev, acap)
+    overflow: jnp.ndarray  # (ndev, 4) [migration, ghosts, border, lists]
+
+
+class DomainResult(NamedTuple):
+    temps: np.ndarray
+    state: DomainState
+    total_time: float
+
+
+class DomainSimulation:
+    """Multi-chip LJ MD via slab decomposition + ICI halo exchange."""
+
+    def __init__(self, params: Params, ndev: int,
+                 x: Optional[np.ndarray] = None,
+                 v: Optional[np.ndarray] = None):
+        assert params.force_field == 0, "domain engine is LJ-only for now"
+        self.params = params
+        self.ndev = ndev
+        self.slab_w = params.xprd / ndev
+        assert self.slab_w >= params.cutneigh, (
+            f"slab width {self.slab_w:.2f} < cutneigh {params.cutneigh}: "
+            "use fewer devices or a larger box"
+        )
+        if x is None:
+            x, v, _ = create_fcc_lattice(params)
+        self.natoms = x.shape[0]
+        self.scales = setup_thermo(params, self.natoms)
+        v = adjust_thermo(params, self.scales, v, self.natoms)
+
+        per_dev = self.natoms / ndev
+        self.acap = int(math.ceil(per_dev * 1.25 / 8)) * 8 + 8
+        c = params.cutneigh
+        # y/z ghosts of a slab
+        gfrac = (1 + 2 * c / params.yprd) * (1 + 2 * c / params.zprd) - 1.0
+        self.gcap = int(math.ceil(self.acap * gfrac * 1.6)) + 64
+        # one x-face region incl. its y/z images
+        bfrac = (c / self.slab_w) * (1 + 2 * c / params.yprd) * (
+            1 + 2 * c / params.zprd
+        )
+        self.bcap = int(math.ceil(self.acap * bfrac * 1.8)) + 64
+        self.migcap = int(math.ceil(self.acap * 0.2)) + 32
+        vol = 4.0 / 3.0 * np.pi * c**3
+        self.maxneighs = max(
+            params.maxneighs, int(math.ceil(vol * params.rho * 1.3 / 8)) * 8
+        )
+        self.nrows = self.acap + self.gcap + 2 * self.bcap + 1
+
+        # slab-local cell grid (same static geometry on every device)
+        self.grid = make_cell_grid(
+            np.array([self.slab_w, params.yprd, params.zprd]),
+            params.cutneigh, params.rho, 0,
+        )
+        self.mesh = Mesh(np.array(jax.devices()[:ndev]), (AXIS,))
+        self._init_host_state(x, v)
+
+    def _init_host_state(self, x, v):
+        p = self.params
+        dtype = p.dtype
+        slab = np.minimum(
+            (x[:, 0] / self.slab_w).astype(np.int64), self.ndev - 1
+        )
+        xs = np.full((self.ndev, self.nrows, 3), SENTINEL_COORD, np.float64)
+        vs = np.zeros((self.ndev, self.acap, 3), np.float64)
+        counts = np.zeros(self.ndev, np.int32)
+        for d in range(self.ndev):
+            idx = np.nonzero(slab == d)[0]
+            n = len(idx)
+            assert n <= self.acap, "initial slab overflow"
+            # slab frame: x shifted so the slab owns [0, slab_w)
+            xs[d, :n] = x[idx] - np.array([d * self.slab_w, 0.0, 0.0])
+            vs[d, :n] = v[idx]
+            counts[d] = n
+        self.x0 = jnp.asarray(xs, dtype)
+        self.v0 = jnp.asarray(vs, dtype)
+        self.n0 = jnp.asarray(counts)
+
+    # ---- per-device phases (called inside shard_map) ----------------------
+
+    def _wrap_yz(self, x, nloc):
+        """Wrap y/z into the box; x is handled by migration."""
+        p = self.params
+        rows = jnp.arange(x.shape[0])[:, None]
+        live = rows < nloc
+        for d, prd in ((1, p.yprd), (2, p.zprd)):
+            c = x[:, d]
+            c = jnp.where(live[:, 0] & (c < 0), c + prd, c)
+            c = jnp.where(live[:, 0] & (c >= prd), c - prd, c)
+            x = x.at[:, d].set(c)
+        return x
+
+    def _migrate(self, x, v, nloc):
+        """Move atoms that crossed a slab face to the neighbor device
+        (the multi-chip analogue of updateAtomsPbc, pbc.c:59-84)."""
+        p = self.params
+        ndev = self.ndev
+        acap, migcap = self.acap, self.migcap
+        dtype = x.dtype
+        rows = jnp.arange(acap, dtype=jnp.int32)
+        live = rows < nloc
+        xl = x[:acap]
+
+        go_l = live & (xl[:, 0] < 0.0)
+        go_r = live & (xl[:, 0] >= self.slab_w)
+        ovf_drift = jnp.any(
+            live & ((xl[:, 0] < -self.slab_w) | (xl[:, 0] >= 2 * self.slab_w))
+        )
+        stay = live & ~go_l & ~go_r
+
+        def pack(mask, dx_shift):
+            pos = jnp.cumsum(mask) - 1
+            cnt = jnp.sum(mask).astype(jnp.int32)
+            pos = jnp.where(mask & (pos < migcap), pos, migcap)
+            buf = jnp.full((migcap, 6), SENTINEL_COORD, dtype)
+            payload = jnp.concatenate(
+                [xl + jnp.asarray([dx_shift, 0, 0], dtype), v[:acap]], axis=1
+            )
+            buf = buf.at[pos].set(payload, mode="drop")
+            return buf, cnt
+
+        # leavers-left arrive at the left neighbor's right edge
+        buf_l, cnt_l = pack(go_l, +self.slab_w)
+        buf_r, cnt_r = pack(go_r, -self.slab_w)
+        ovf_mig = (cnt_l > migcap) | (cnt_r > migcap) | ovf_drift
+
+        perm_r = [(i, (i + 1) % ndev) for i in range(ndev)]
+        perm_l = [(i, (i - 1) % ndev) for i in range(ndev)]
+        recv_from_right = jax.lax.ppermute(buf_l, AXIS, perm_l)
+        recv_from_left = jax.lax.ppermute(buf_r, AXIS, perm_r)
+
+        # compact stayers to the front, then append arrivals
+        pos = jnp.cumsum(stay) - 1
+        n_stay = jnp.sum(stay).astype(jnp.int32)
+        pos = jnp.where(stay, pos, acap)
+        x2 = jnp.full((acap, 3), SENTINEL_COORD, dtype)
+        v2 = jnp.zeros((acap, 3), dtype)
+        x2 = x2.at[pos].set(xl, mode="drop")
+        v2 = v2.at[pos].set(v[:acap], mode="drop")
+
+        def append(x2, v2, n, buf):
+            valid = jnp.abs(buf[:, 0]) < SENTINEL_COORD * 0.5
+            pos = jnp.cumsum(valid) - 1 + n
+            cnt = jnp.sum(valid).astype(jnp.int32)
+            pos = jnp.where(valid & (pos < acap), pos, acap)
+            x2 = x2.at[pos].set(buf[:, 0:3], mode="drop")
+            v2 = v2.at[pos].set(buf[:, 3:6], mode="drop")
+            return x2, v2, n + cnt
+
+        x2, v2, n2 = append(x2, v2, n_stay, recv_from_left)
+        x2, v2, n2 = append(x2, v2, n2, recv_from_right)
+        ovf = ovf_mig | (n2 > acap)
+        x_full = jnp.full((self.nrows, 3), SENTINEL_COORD, dtype)
+        x_full = x_full.at[:acap].set(x2)
+        return x_full, v2, n2, ovf
+
+    def _build_halo(self, x, nloc):
+        """Local y/z ghosts + x-face border export maps."""
+        p = self.params
+        acap, gcap, bcap = self.acap, self.gcap, self.bcap
+        c = p.cutneigh
+        # sentinel padding rows (coords ~1e30) would PASS the hi-side
+        # boundary tests inside setup_pbc and spawn garbage ghosts; feed
+        # it a copy with padding parked mid-box (fails both face tests).
+        rows = jnp.arange(acap, dtype=jnp.int32)
+        live = (rows < nloc)[:, None]
+        center = jnp.asarray(
+            [self.slab_w / 2, p.yprd / 2, p.zprd / 2], x.dtype
+        )
+        x_safe = x.at[:acap].set(jnp.where(live, x[:acap], center))
+        halo = setup_pbc(
+            x_safe, acap, acap, gcap,
+            np.array([self.slab_w, p.yprd, p.zprd]),
+            (0, p.pbc_y, p.pbc_z), c,
+        )
+        x = update_pbc(x, halo, acap)
+
+        # export regions over locals + y/z ghosts
+        nscan = acap + gcap
+        xr = x[:nscan]
+        row_ids = jnp.arange(nscan, dtype=jnp.int32)
+        row_live = jnp.abs(xr[:, 0]) < SENTINEL_COORD * 0.5
+        exp_l = row_live & (xr[:, 0] < c)
+        exp_r = row_live & (xr[:, 0] >= self.slab_w - c)
+
+        def pack_map(mask):
+            pos = jnp.cumsum(mask) - 1
+            cnt = jnp.sum(mask).astype(jnp.int32)
+            pos = jnp.where(mask & (pos < bcap), pos, bcap)
+            bm = jnp.full((bcap,), x.shape[0] - 1, jnp.int32)
+            bm = bm.at[pos].set(row_ids, mode="drop")
+            return bm, cnt
+
+        bmap_l, cl = pack_map(exp_l)
+        bmap_r, cr = pack_map(exp_r)
+        ovf = halo.overflow | (cl > bcap) | (cr > bcap)
+        return x, halo, bmap_l, bmap_r, ovf
+
+    def _exchange_borders(self, x, bmap_l, bmap_r):
+        """Per-step x-ghost refresh: gather exported rows, shift across
+        the periodic seam, ppermute both directions (the halo exchange
+        proper — ICI traffic)."""
+        dtype = x.dtype
+        ndev = self.ndev
+
+        # periodic seams are handled by slab-LOCAL frames: a +-slab_w
+        # shift is correct for every neighbor pair, including the wrap
+        # between device 0 and device ndev-1.
+        # to LEFT neighbor: arrives at their right side: x += slab_w
+        send_l = x[bmap_l] + jnp.asarray([self.slab_w, 0, 0], dtype)
+        # to RIGHT neighbor: arrives at their left side: x -= slab_w
+        send_r = x[bmap_r] - jnp.asarray([self.slab_w, 0, 0], dtype)
+
+        perm_r = [(i, (i + 1) % ndev) for i in range(ndev)]
+        perm_l = [(i, (i - 1) % ndev) for i in range(ndev)]
+        from_right = jax.lax.ppermute(send_l, AXIS, perm_l)
+        from_left = jax.lax.ppermute(send_r, AXIS, perm_r)
+
+        g0 = self.acap + self.gcap
+        x = x.at[g0 : g0 + self.bcap].set(from_left)
+        x = x.at[g0 + self.bcap : g0 + 2 * self.bcap].set(from_right)
+        return x
+
+    def _reneighbor_dev(self, x, v, nloc):
+        x = self._wrap_yz(x, nloc)
+        x, v, nloc, ovf_m = self._migrate(x, v, nloc)
+        x, halo, bmap_l, bmap_r, ovf_g = self._build_halo(x, nloc)
+        x = self._exchange_borders(x, bmap_l, bmap_r)
+        cl = build_cells(self.grid, x)
+        nlist = build_neighbors(
+            self.grid, cl, x, None, self.params.cutneigh**2,
+            self.acap, self.acap, self.maxneighs, half=False,
+        )
+        # mask rows beyond nloc (their sentinel coords never pass the
+        # cutoff, but numneigh counting already handles it)
+        ovf = jnp.stack(
+            [ovf_m, ovf_g, cl.overflow, nlist.overflow]
+        )
+        return x, v, nloc, halo, bmap_l, bmap_r, nlist, ovf
+
+    def _force_dev(self, x, nlist):
+        p = self.params
+        return compute_force_lj_full(
+            x, nlist.neighbors, nlist.numneigh, self.acap,
+            p.cutforce**2, p.sigma6, p.epsilon,
+        )
+
+    # ---- the sharded run ---------------------------------------------------
+
+    def _make_run_fn(self, ntimes: int):
+        p = self.params
+        dt, dtf = p.dt, p.dtforce
+        every = p.reneigh_every
+        n_int = max(ntimes // every, 1)
+        mass, scales = p.mass, self.scales
+
+        def dev_body(x, v, f, nloc, hm, hs, bl, br, nb, nn, ovf):
+            """One device's whole run; collectives inside."""
+            from mdbench_tpu.state import Halo, NeighborList
+
+            x, v, f = x[0], v[0], f[0]
+            nloc = nloc[0]
+            halo = Halo(border_map=hm[0], shift=hs[0],
+                        nghost=jnp.int32(0), overflow=jnp.asarray(False))
+            bl, br = bl[0], br[0]
+            nlist = NeighborList(neighbors=nb[0], numneigh=nn[0],
+                                 overflow=jnp.asarray(False))
+            ovf = ovf[0]
+            acap = self.acap
+            rows = jnp.arange(acap, dtype=jnp.int32)
+
+            def thermo(v, nloc):
+                live = (rows < nloc)[:, None]
+                vsq = jnp.sum(jnp.where(live, v * v, 0.0)) * mass
+                vsq = jax.lax.psum(vsq, AXIS)
+                return vsq * scales.t_scale
+
+            def integrate1(x, v, f, nloc):
+                live = (rows < nloc)[:, None]
+                v = jnp.where(live, v + dtf * f, v)
+                x = x.at[:acap].set(
+                    jnp.where(live, x[:acap] + dt * v, x[:acap])
+                )
+                return x, v
+
+            def plain_step(carry, _):
+                x, v, f, nloc, halo, bl, br, nlist, ovf = carry
+                x, v = integrate1(x, v, f, nloc)
+                x = update_pbc(x, halo, acap)
+                x = self._exchange_borders(x, bl, br)
+                f = self._force_dev(x, nlist)
+                live = (rows < nloc)[:, None]
+                v = jnp.where(live, v + dtf * f, v)
+                t = thermo(v, nloc)
+                return (x, v, f, nloc, halo, bl, br, nlist, ovf), t
+
+            def reneigh_step(carry):
+                x, v, f, nloc, halo, bl, br, nlist, ovf = carry
+                x, v = integrate1(x, v, f, nloc)
+                x, v, nloc, halo, bl, br, nlist, ovf2 = (
+                    self._reneighbor_dev(x, v, nloc)
+                )
+                f = self._force_dev(x, nlist)
+                live = (rows < nloc)[:, None]
+                v = jnp.where(live, v + dtf * f, v)
+                t = thermo(v, nloc)
+                return (x, v, f, nloc, halo, bl, br, nlist, ovf | ovf2), t
+
+            def interval(carry, _):
+                carry, ts = jax.lax.scan(
+                    plain_step, carry, None, length=every - 1
+                )
+                carry, t_last = reneigh_step(carry)
+                return carry, jnp.concatenate([ts, t_last[None]])
+
+            # initial build
+            x, v, nloc, halo, bl, br, nlist, ovf0 = (
+                self._reneighbor_dev(x, v, nloc)
+            )
+            f = self._force_dev(x, nlist)
+            carry = (x, v, f, nloc, halo, bl, br, nlist, ovf | ovf0)
+            carry, temps = jax.lax.scan(interval, carry, None, length=n_int)
+            x, v, f, nloc, halo, bl, br, nlist, ovf = carry
+            return (
+                x[None], v[None], f[None], nloc[None], halo.border_map[None],
+                halo.shift[None], bl[None], br[None],
+                nlist.neighbors[None], nlist.numneigh[None], ovf[None],
+                temps.reshape(1, -1),
+            )
+
+        spec = P(AXIS)
+        sharded = jax.shard_map(
+            dev_body, mesh=self.mesh,
+            in_specs=(spec,) * 11,
+            out_specs=(spec,) * 11 + (P(AXIS),),
+        )
+        return jax.jit(sharded)
+
+    def run(self, ntimes: Optional[int] = None) -> DomainResult:
+        p = self.params
+        ntimes = p.ntimes if ntimes is None else ntimes
+        dtype = p.dtype
+        nd = self.ndev
+        f0 = jnp.zeros((nd, self.acap, 3), dtype)
+        hm0 = jnp.zeros((nd, self.gcap), jnp.int32)
+        hs0 = jnp.zeros((nd, self.gcap, 3), dtype)
+        bl0 = jnp.zeros((nd, self.bcap), jnp.int32)
+        br0 = jnp.zeros((nd, self.bcap), jnp.int32)
+        nb0 = jnp.zeros((nd, self.acap, self.maxneighs), jnp.int32)
+        nn0 = jnp.zeros((nd, self.acap), jnp.int32)
+        ovf0 = jnp.zeros((nd, 4), bool)
+
+        run_fn = self._make_run_fn(ntimes)
+        t0 = time.perf_counter()
+        out = run_fn(self.x0, self.v0, f0, self.n0, hm0, hs0, bl0, br0,
+                     nb0, nn0, ovf0)
+        temps = out[-1]
+        _fence = float(jnp.sum(out[1][0, 0]))
+        total = time.perf_counter() - t0
+        state = DomainState(
+            x=out[0], v=out[1], f=out[2], nlocal=out[3], halo_map=out[4],
+            halo_shift=out[5], bmap_l=out[6], bmap_r=out[7],
+            neighbors=out[8], numneigh=out[9], overflow=out[10],
+        )
+        if bool(np.asarray(state.overflow).any()):
+            raise RuntimeError(
+                "domain capacity overflow: " + str(np.asarray(state.overflow))
+            )
+        # temps identical across devices (psum); take device 0's row
+        return DomainResult(
+            temps=np.asarray(temps[0]).reshape(-1), state=state,
+            total_time=total,
+        )

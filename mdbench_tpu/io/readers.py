@@ -39,7 +39,15 @@ def _type_str2int(name: str) -> int:
 
 def read_atom_dmp(path: str) -> ReadResult:
     """LAMMPS dump: 'ITEM: ATOMS id type x y z vx vy vz' with
-    'BOX BOUNDS pp pp pp' (reference: atom.c:393-488)."""
+    'BOX BOUNDS pp pp pp' (reference: atom.c:393-488). Uses the native
+    C++ loader when available (io/native.py), Python fallback below."""
+    from mdbench_tpu.io import native
+
+    res = native.parse(path, "dmp")
+    if res is not None:
+        x, v, types, box = res
+        print(f"Read {x.shape[0]} atoms from {path} (native)")
+        return ReadResult(x, v, types, box, int(types.max()) + 1)
     natoms = 0
     box = [0.0, 0.0, 0.0]
     x = v = types = None

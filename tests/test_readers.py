@@ -67,3 +67,45 @@ def test_in_roundtrip(tmp_path):
     np.testing.assert_allclose(r.x, x, atol=1e-6)
     np.testing.assert_allclose(r.v, v, atol=1e-6)
     assert r.box == (10.0, 10.0, 10.0)
+
+
+def test_native_loader_matches_python():
+    from mdbench_tpu.io import native
+
+    if not native.available():
+        pytest.skip("no native toolchain")
+    path = f"{DATA}/copper_melting/input_lj_cu_two_atomtypes_20x20x20.dmp"
+    x, v, types, box = native.parse(path, "dmp")
+    # compare against the pure-Python fallback parse of the same file
+    import numpy as _np
+
+    natoms = 0
+    with open(path) as fp:
+        lines = iter(fp)
+        for line in lines:
+            if not line.startswith("ITEM: "):
+                continue
+            item = line[6:]
+            if item.startswith("TIMESTEP"):
+                next(lines)
+            elif item.startswith("NUMBER OF ATOMS"):
+                natoms = int(next(lines))
+                xp = _np.zeros((natoms, 3)); vp = _np.zeros((natoms, 3))
+                tp = _np.zeros(natoms, _np.int32)
+            elif item.startswith("BOX BOUNDS pp pp pp"):
+                bp = []
+                for d in range(3):
+                    lo, hi = map(float, next(lines).split()[:2])
+                    bp.append(hi - lo)
+            elif item.startswith("ATOMS id type x y z vx vy vz"):
+                for _ in range(natoms):
+                    t = next(lines).split()
+                    aid = int(t[0]) - 1
+                    tp[aid] = int(t[1]) - 1
+                    xp[aid] = [float(t[2]), float(t[3]), float(t[4])]
+                    vp[aid] = [float(t[5]), float(t[6]), float(t[7])]
+                break
+    np.testing.assert_array_equal(x, xp)
+    np.testing.assert_array_equal(v, vp)
+    np.testing.assert_array_equal(types, tp)
+    np.testing.assert_allclose(box, bp)

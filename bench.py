@@ -21,7 +21,7 @@ def main() -> int:
 
     # benchmark axis: SP + cluster scheme + Pallas kernel (the fast path;
     # DP/verlet is the parity axis)
-    params = Params(precision="sp", scheme="cluster")
+    params = Params(precision="sp", scheme="cluster", dense_thermo=False)
     sim = ClusterSimulation(params)
     out = sim.run()
     mups = 1e-6 * sim.natoms * params.ntimes / out.total_time

@@ -95,6 +95,10 @@ class Params:
     precision: str = "dp"  # "sp" | "dp"  (reference config.mk DATA_TYPE)
     compute_stats: bool = True
     sort_atoms: bool = True  # reference SORT_ATOMS; free on TPU, default on
+    # record T/P every step (True) or only at reneighbor boundaries
+    # (False — the reference prints only every nstat steps, and a full
+    # velocity reduction each step costs ~0.5 ms on the tunnel)
+    dense_thermo: bool = True
     # Force-kernel backend: "xla" (fused XLA program) or "pallas"
     # (hand-written Pallas TPU kernel); "auto" picks per scheme.
     kernel: str = "auto"

@@ -349,6 +349,9 @@ class Simulation:
             # AOT-compile so the timed region is pure execution, matching
             # the reference timer protocol (main.c:250-287).
             compiled = run_fn.lower(state0, flags_dev).compile()
+            warm = compiled(self.initial_state(), flags_dev)
+            _ = float(jnp.sum(warm[0].v[0]))
+            del warm
             t0 = time.perf_counter()
             state, (temps, press) = compiled(state0, flags_dev)
             # NOTE: on remote-tunneled backends block_until_ready can

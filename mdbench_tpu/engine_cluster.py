@@ -267,7 +267,10 @@ class ClusterSimulation:
         vxc = vxc + dtf * fxc
         vyc = vyc + dtf * fyc
         vzc = vzc + dtf * fzc
-        t, pr = self._thermo(vxc, vyc, vzc)
+        if p.dense_thermo:
+            t, pr = self._thermo(vxc, vyc, vzc)
+        else:
+            t = pr = jnp.zeros((), vxc.dtype)
         return (
             state._replace(
                 clusters=cl, vxc=vxc, vyc=vyc, vzc=vzc,
@@ -379,6 +382,13 @@ class ClusterSimulation:
                 continue
             run_fn = self._make_run_fn(ntimes)
             compiled = run_fn.lower(state0).compile()
+            # un-timed warm-up execution: the first call after AOT compile
+            # still pays large one-time server-side costs on tunneled
+            # backends; the reference's timer protocol measures steady
+            # execution
+            warm = compiled(self.initial_state())
+            _ = float(jnp.sum(warm[0].vxc[0]))
+            del warm
             t0 = time.perf_counter()
             state, (temps, press) = compiled(state0)
             _fence = float(jnp.sum(state.vxc[0]))

@@ -211,28 +211,27 @@ class ClusterSimulation:
         return clusters, (vxc, vyc, vzc), halo, pairs, ovf
 
     def _flatten(self, state: CStepState):
-        """Scatter cluster state back to flat atom arrays (reference
-        updateSingleAtoms, neighbor.c:1023-1049)."""
-        aid = state.clusters.atom_id
-        dest = jnp.where(aid >= 0, aid, self.nlocal).reshape(-1)
+        """Gather cluster state back to flat atom arrays via the inverse
+        map (reference updateSingleAtoms, neighbor.c:1023-1049; gather
+        instead of scatter — 2-D scatters are pathological on TPU)."""
+        inv = state.clusters.inv_map  # (nlocal,) -> cluster*8+slot
         nrows = self.nlocal + 1
         dtype = state.clusters.xc.dtype
 
-        def scat(plane_x, plane_y, plane_z):
+        def gath(plane_x, plane_y, plane_z):
             out = jnp.full((nrows, 3), SENTINEL_COORD, dtype)
-            out = out.at[dest, 0].set(
-                plane_x[: self.n_clusters_pad].reshape(-1), mode="drop"
+            vals = jnp.stack(
+                [
+                    plane_x[: self.n_clusters_pad].reshape(-1)[inv],
+                    plane_y[: self.n_clusters_pad].reshape(-1)[inv],
+                    plane_z[: self.n_clusters_pad].reshape(-1)[inv],
+                ],
+                axis=1,
             )
-            out = out.at[dest, 1].set(
-                plane_y[: self.n_clusters_pad].reshape(-1), mode="drop"
-            )
-            out = out.at[dest, 2].set(
-                plane_z[: self.n_clusters_pad].reshape(-1), mode="drop"
-            )
-            return out
+            return out.at[: self.nlocal].set(vals)
 
-        x_flat = scat(state.clusters.xc, state.clusters.yc, state.clusters.zc)
-        v_flat = scat(state.vxc, state.vyc, state.vzc).at[self.nlocal].set(0.0)
+        x_flat = gath(state.clusters.xc, state.clusters.yc, state.clusters.zc)
+        v_flat = gath(state.vxc, state.vyc, state.vzc).at[self.nlocal].set(0.0)
         return x_flat, v_flat
 
     def _force_from(self, clusters: Clusters, pairs: ClusterPairList):

@@ -124,6 +124,9 @@ class Clusters(NamedTuple):
     zc: jnp.ndarray
     bbox: jnp.ndarray  # (C_total, 8)
     atom_id: jnp.ndarray  # (C_local, 8) int32 — original atom row, or -1 pad
+    inv_map: jnp.ndarray  # (nlocal,) int32 — atom row -> cluster*8+slot
+    # (the inverse of atom_id; lets the flatten step be a GATHER — a
+    # column scatter costs ~50 ms at 131k atoms on TPU)
 
 
 class ClusterHalo(NamedTuple):
@@ -227,8 +230,18 @@ def build_clusters(
 
     xc, yc, zc = plane(0), plane(1), plane(2)
     aid = jnp.where(valid, atom_rows, -1)
+    # inverse mapping via one 1-D scatter (cheap, unlike 2-D scatters)
+    slots = jnp.arange(n_clusters_pad * M, dtype=jnp.int32).reshape(
+        n_clusters_pad, M
+    )
+    dest = jnp.where(valid, atom_rows, nlocal)
+    inv = jnp.zeros((nlocal,), jnp.int32).at[dest.reshape(-1)].set(
+        slots.reshape(-1), mode="drop"
+    )
     bbox = compute_bboxes(xc, yc, zc)
-    return Clusters(xc=xc, yc=yc, zc=zc, bbox=bbox, atom_id=aid), overflow
+    return Clusters(
+        xc=xc, yc=yc, zc=zc, bbox=bbox, atom_id=aid, inv_map=inv
+    ), overflow
 
 
 def compute_bboxes(xc, yc, zc) -> jnp.ndarray:

@@ -198,9 +198,11 @@ class ClusterSimulation:
             clusters, halo, self.n_clusters_pad, update_bbox=True
         )
         bbox16 = make_j16_bboxes(clusters.bbox)
-        cells, (ovf_bcap, ovf_zext) = bin_clusters(self.grid, bbox16)
+        cells, bb_cells, (ovf_bcap, ovf_zext) = bin_clusters(
+            self.grid, bbox16
+        )
         pairs = build_cluster_pairs(
-            self.grid, cells, bbox16, clusters.bbox,
+            self.grid, cells, bb_cells, clusters.bbox,
             self.n_clusters_pad, GROUP, self.list_cap,
         )
         # selective overflow flags -> targeted growth in run()

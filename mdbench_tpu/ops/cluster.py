@@ -377,7 +377,10 @@ def bin_clusters(grid: ClusterGrid, bb: jnp.ndarray):
     """Bin clusters (any granularity — callers pass 8-atom or 16-atom
     j-cluster bboxes) by bbox center into (col, zslab) search bins
     (reference binClusters, neighbor.c:875-1021) — the same sort +
-    ranked scatter as the atom cell list."""
+    ranked scatter as the atom cell list. Also scatters each cluster's
+    bbox into a (nbins+1, cap, 8) table so the pair search can gather
+    candidate bboxes by BIN ROW (8x fewer gather rows than per-cluster
+    gathers — XLA row gathers run at ~360M rows/s)."""
     ctr_x = 0.5 * (bb[:, 0] + bb[:, 1])
     ctr_y = 0.5 * (bb[:, 2] + bb[:, 3])
     ctr_z = 0.5 * (bb[:, 4] + bb[:, 5])
@@ -418,13 +421,24 @@ def bin_clusters(grid: ClusterGrid, bb: jnp.ndarray):
     )
     cells = jnp.full(((grid.nbins + 1) * grid.bin_capacity,), sentinel, jnp.int32)
     cells = cells.at[pos].set(order.astype(jnp.int32), mode="drop")
-    return cells.reshape(grid.nbins + 1, grid.bin_capacity), (ovf_cap, ovf_zext)
+    # bbox table aligned with `cells`; empty slots get a far-away box
+    # so the gap test excludes them without the id check
+    fill = jnp.full((8,), SENTINEL_COORD, bb.dtype)
+    bb_cells = jnp.broadcast_to(
+        fill, ((grid.nbins + 1) * grid.bin_capacity, 8)
+    )
+    bb_cells = bb_cells.at[pos].set(bb[order], mode="drop")
+    return (
+        cells.reshape(grid.nbins + 1, grid.bin_capacity),
+        bb_cells.reshape(grid.nbins + 1, grid.bin_capacity, 8),
+        (ovf_cap, ovf_zext),
+    )
 
 
 def build_cluster_pairs(
     grid: ClusterGrid,
     cells: jnp.ndarray,  # (nbins+1, cap) — j16-cluster ids
-    jbbox: jnp.ndarray,  # (Cj, 8) 16-atom j-cluster bboxes
+    bb_cells: jnp.ndarray,  # (nbins+1, cap, 8) — their bboxes, aligned
     ibbox: jnp.ndarray,  # (>= n_clusters_pad, 8) i-cluster (8-atom) bboxes
     n_clusters_pad: int,
     group: int,
@@ -441,7 +455,10 @@ def build_cluster_pairs(
     cap = grid.bin_capacity
     wx, wy, wz = grid.stencil
     cutsq = grid.cutneigh * grid.cutneigh
-    sentinel = jbbox.shape[0] - 1
+    # note: entries dropped by the dsq test may still carry real cluster
+    # ids past position nj in the sorted list; they are > cutneigh from
+    # the whole group by construction, so the kernel's rsq mask zeroes
+    # them even when a partial tile touches them
 
     bb_local = ibbox[:n_clusters_pad].reshape(ng, group, 8)
     # group bbox = union over members (sentinel members auto-inert)
@@ -497,10 +514,12 @@ def build_cluster_pairs(
         ) | ~real
 
         base = (bx0 * dims[1] + by0) * dims[2] + bz0  # (chunk,)
-        cand_bins = base[:, None] + offs_j[None, :]  # (chunk, 16*SZ)
+        cand_bins = base[:, None] + offs_j[None, :]  # (chunk, Wx*Wy*Wz)
         cand = cells[cand_bins].reshape(chunk, -1)  # (chunk, ncand)
 
-        cb = jbbox[cand]  # (chunk, ncand, 8) row gather
+        # bbox gather by BIN ROW: (chunk, nwin) rows of (cap, 8) — far
+        # fewer (and fatter) gather rows than per-cluster (chunk, ncand)
+        cb = bb_cells[cand_bins].reshape(chunk, -1, 8)
         # bbox-to-bbox distance vs group bbox
         def gap(lo_i, hi_i, lo_j, hi_j):
             return jnp.maximum(
@@ -510,7 +529,7 @@ def build_cluster_pairs(
         dy = gap(mny, mxy, cb[:, :, 2], cb[:, :, 3])
         dz = gap(mnz, mxz, cb[:, :, 4], cb[:, :, 5])
         dsq = dx * dx + dy * dy + dz * dz
-        keep = (dsq <= cutsq) & (cand != sentinel) & real[:, None]
+        keep = (dsq <= cutsq) & real[:, None]  # empty slots fail dsq
 
         nj = jnp.sum(keep, axis=1).astype(nj_dtype)
         # Sort kept candidates by bbox zmin: each i-cluster's reachable

@@ -85,3 +85,15 @@ def test_eam_trajectory_matches_c_reference():
             continue
         assert out.temps[step - 1] == pytest.approx(t_gold, rel=5e-6)
         assert out.press[step - 1] == pytest.approx(p_gold, rel=5e-6)
+
+
+def test_lj_half_neighbor_matches_c_reference():
+    """half_neigh=1 (Newton scatter path) against the same golden trace
+    (the reference's half and full traces coincide at this tolerance —
+    verified by running the binary with -half 1)."""
+    p = Params(nx=6, ny=6, nz=6, ntimes=50, half_neigh=1)
+    out = Simulation(p).run()
+    for step, (t_gold, _) in GOLDEN_LJ.items():
+        if step == 0 or step > 50:
+            continue
+        assert out.temps[step - 1] == pytest.approx(t_gold, rel=1e-5)

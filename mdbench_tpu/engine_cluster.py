@@ -42,6 +42,7 @@ from mdbench_tpu.ops.cluster import (
 )
 from mdbench_tpu.ops.pallas.lj_cluster import (
     lj_cluster_force_pallas,
+    lj_cluster_force_pallas_stream,
     lj_cluster_force_xla,
 )
 from mdbench_tpu.state import SENTINEL_COORD
@@ -74,7 +75,7 @@ def _use_pallas(params: Params) -> bool:
     if params.kernel == "xla":
         return False
     on_cpu = jax.devices()[0].platform == "cpu"
-    if params.kernel == "pallas":
+    if params.kernel in ("pallas", "pallas_ds"):
         return True
     return not on_cpu  # auto
 
@@ -240,7 +241,15 @@ class ClusterSimulation:
         p = self.params
         cutsq = p.cutforce**2
         if _use_pallas(p):
-            return lj_cluster_force_pallas(
+            # "pallas" / "auto" -> streaming kernel (j-tiles pre-gathered
+            # per step, zero in-kernel dynamic slices); "pallas_ds" keeps
+            # the round-1 dynamic-slice kernel as a comparison twin
+            fn = (
+                lj_cluster_force_pallas
+                if p.kernel == "pallas_ds"
+                else lj_cluster_force_pallas_stream
+            )
+            return fn(
                 clusters.xc, clusters.yc, clusters.zc, pairs.jlist,
                 pairs.ranges, self.n_clusters_pad, GROUP, cutsq,
                 p.sigma6, p.epsilon, interpret=self.interpret,

@@ -231,6 +231,177 @@ def lj_cluster_force_pallas(
     )
 
 
+def _kernel_stream(
+    rg_ref, xj_ref, yj_ref, zj_ref, xi_ref, yi_ref, zi_ref,
+    fx_ref, fy_ref, fz_ref,
+    ax, ay, az,
+    *, nslab: int, cutforcesq: float, sigma6: float, epsilon: float,
+    approx_rcp: bool,
+):
+    """Streaming variant: every operand arrives as a pipelined BlockSpec
+    DMA and the slab loop is statically unrolled — the kernel issues ZERO
+    scalar-core dynamic slices. Round-1 decomposition (PERF.md) showed
+    the old kernel spent 3.5 of 5.3 ms on serialized dynamic-slice
+    address issue; streaming moves j-tile assembly to one XLA gather per
+    step (repack_jtiles) and lets the Pallas pipeline hide the loads."""
+    g = pl.program_id(0)
+    njg = rg_ref[0, 0, 2 * GROUP]
+
+    ax[:] = jnp.zeros_like(ax)
+    ay[:] = jnp.zeros_like(ay)
+    az[:] = jnp.zeros_like(az)
+
+    xis = [xi_ref[ic, :].reshape(8, 1) for ic in range(GROUP)]
+    yis = [yi_ref[ic, :].reshape(8, 1) for ic in range(GROUP)]
+    zis = [zi_ref[ic, :].reshape(8, 1) for ic in range(GROUP)]
+    starts = [rg_ref[0, 0, ic] for ic in range(GROUP)]
+    ends = [rg_ref[0, 0, GROUP + ic] for ic in range(GROUP)]
+
+    for s in range(nslab):  # static unroll: slice offsets are immediates
+        @pl.when(s < njg)
+        def _(s=s):
+            xj = xj_ref[0, s : s + 1, :]  # (1, 128) static slice
+            yj = yj_ref[0, s : s + 1, :]
+            zj = zj_ref[0, s : s + 1, :]
+            for ic in range(GROUP):
+                active = (s >= starts[ic]) & (s < ends[ic])
+
+                @pl.when(active)
+                def _(ic=ic):
+                    dx = xis[ic] - xj
+                    dy = yis[ic] - yj
+                    dz = zis[ic] - zj
+                    rsq = dx * dx + dy * dy + dz * dz
+                    mask = (rsq < cutforcesq) & (rsq > 0.0)
+                    rs = jnp.where(mask, rsq, 1.0)
+                    if approx_rcp:
+                        sr2 = pl.reciprocal(rs, approx=True)
+                    else:
+                        sr2 = 1.0 / rs
+                    sr6 = sr2 * sr2 * sr2 * sigma6
+                    gf = jnp.where(
+                        mask, 48.0 * epsilon * sr6 * (sr6 - 0.5) * sr2, 0.0
+                    )
+                    r0 = ic * 8
+                    ax[r0 : r0 + 8, :] += dx * gf
+                    ay[r0 : r0 + 8, :] += dy * gf
+                    az[r0 : r0 + 8, :] += dz * gf
+
+    ones = jnp.ones((1, 128), ax.dtype)
+    dn = (((1,), (1,)), ((), ()))
+    row = g % 8
+    fx_ref[0, row, :] = jax.lax.dot_general(
+        ones, ax[:], dn, preferred_element_type=ax.dtype
+    )[0]
+    fy_ref[0, row, :] = jax.lax.dot_general(
+        ones, ay[:], dn, preferred_element_type=ay.dtype
+    )[0]
+    fz_ref[0, row, :] = jax.lax.dot_general(
+        ones, az[:], dn, preferred_element_type=az.dtype
+    )[0]
+
+
+def repack_jtiles(xc, yc, zc, jlist):
+    """Per-step XLA repack: gather each group's j16-cluster coordinate
+    rows into dense planar slab tiles (NG, S, 128) — slab s carries
+    8 j16-clusters, cluster k of the slab on lanes [16k, 16k+16). One
+    row gather (NG*L rows of 48 floats) replaces the kernel's 8
+    dynamic-slice loads per slab. This is the TPU analogue of the
+    contiguous-aligned-load property of the reference's cluster rows
+    (src/clusterpair/force_lj.c:645-928): spend one gather per step so
+    the hot loop only ever touches dense, streaming memory."""
+    ng, _, L = jlist.shape
+    S = L // TILE_J_STREAM
+    cj = xc.shape[0] // 2
+    packed = jnp.concatenate(
+        [xc.reshape(cj, 16), yc.reshape(cj, 16), zc.reshape(cj, 16)],
+        axis=1,
+    )  # (cj, 48)
+    rows = packed[jlist.reshape(ng * L)]  # (NG*L, 48)
+    r = rows.reshape(ng, S, TILE_J_STREAM, 48)
+    xj = r[..., 0:16].reshape(ng, S, 128)
+    yj = r[..., 16:32].reshape(ng, S, 128)
+    zj = r[..., 32:48].reshape(ng, S, 128)
+    return xj, yj, zj
+
+
+TILE_J_STREAM = 8  # j16-clusters per streamed slab (= 128 lanes)
+
+
+def lj_cluster_force_pallas_stream(
+    xc, yc, zc,  # (C_total, 8) coordinate planes
+    jlist,  # (NG, 1, L) int32 — j16-cluster ids (sentinel-padded)
+    ranges,  # (NG, 1, 2*GROUP+1) int32 per-member tile windows
+    n_clusters_pad: int,
+    group: int,
+    cutforcesq: float,
+    sigma6: float,
+    epsilon: float,
+    interpret: bool = False,
+    approx_rcp: bool = False,
+):
+    """Streaming-DMA cluster force kernel. Returns (fxc, fyc, fzc) each
+    (n_clusters_pad, 8)."""
+    ng, _, L = jlist.shape
+    assert group == GROUP, "pallas kernel is specialized to GROUP=16"
+    assert L % TILE_J_STREAM == 0
+    assert ng * group == n_clusters_pad
+    assert ng % 8 == 0, "n_clusters_pad must be a multiple of 8*GROUP"
+    assert xc.shape[0] % 2 == 0, "row count must pair into j16 clusters"
+    nslab = L // TILE_J_STREAM
+    rdim = ranges.shape[2]
+    dtype = xc.dtype
+
+    xj, yj, zj = repack_jtiles(xc, yc, zc, jlist)
+
+    kern = functools.partial(
+        _kernel_stream,
+        nslab=nslab,
+        cutforcesq=float(cutforcesq), sigma6=float(sigma6),
+        epsilon=float(epsilon), approx_rcp=bool(approx_rcp),
+    )
+    jt_block = pl.BlockSpec(
+        (1, nslab, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
+    )
+    xi_block = pl.BlockSpec(
+        (GROUP, 8), lambda g: (g, 0), memory_space=pltpu.VMEM
+    )
+    out_block = pl.BlockSpec(
+        (1, 8, 128), lambda g: (g // 8, 0, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(ng,),
+        in_specs=[
+            pl.BlockSpec((1, 1, rdim), lambda g: (g, 0, 0),
+                         memory_space=pltpu.SMEM),
+            jt_block, jt_block, jt_block,
+            xi_block, xi_block, xi_block,
+        ],
+        out_specs=[out_block, out_block, out_block],
+        out_shape=[
+            jax.ShapeDtypeStruct((ng // 8, 8, 128), dtype),
+            jax.ShapeDtypeStruct((ng // 8, 8, 128), dtype),
+            jax.ShapeDtypeStruct((ng // 8, 8, 128), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((GROUP * 8, 128), dtype),
+            pltpu.VMEM((GROUP * 8, 128), dtype),
+            pltpu.VMEM((GROUP * 8, 128), dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(ranges, xj, yj, zj, xc, yc, zc)
+    fx, fy, fz = out
+    return (
+        fx.reshape(n_clusters_pad, 8),
+        fy.reshape(n_clusters_pad, 8),
+        fz.reshape(n_clusters_pad, 8),
+    )
+
+
 def lj_cluster_force_xla(
     xc, yc, zc, jlist, n_clusters_pad: int, group: int,
     cutforcesq, sigma6, epsilon,

@@ -21,9 +21,12 @@ def test_cluster_first_force_matches_dense():
     np.testing.assert_allclose(f, np.asarray(f_ref), rtol=1e-9, atol=1e-9)
 
 
-def test_cluster_pallas_interpret_matches_xla():
-    """Pallas kernel in interpreter mode == XLA oracle (small box)."""
-    p = Params(nx=3, ny=3, nz=3, kernel="pallas")
+@pytest.mark.parametrize("kern", ["pallas", "pallas_ds"])
+def test_cluster_pallas_interpret_matches_xla(kern):
+    """Pallas kernels in interpreter mode == XLA oracle (small box).
+    'pallas' is the streaming kernel; 'pallas_ds' the dynamic-slice
+    round-1 twin."""
+    p = Params(nx=3, ny=3, nz=3, kernel=kern)
     sim = ClusterSimulation(p)
     f_pallas = sim.first_force_atoms()
     p2 = Params(nx=3, ny=3, nz=3, kernel="xla")

@@ -37,6 +37,7 @@ from mdbench_tpu.ops.cluster import (
     compute_bboxes,
     make_cluster_grid,
     make_j16_bboxes,
+    refresh_pair_ranges,
     setup_cluster_pbc,
     update_cluster_pbc,
 )
@@ -346,15 +347,46 @@ class ClusterSimulation:
 
         return init(self.x_flat0, self.v_flat0)
 
+    def _prune(self, state: CStepState) -> CStepState:
+        """pruneNeighbor analogue (reference neighbor.c:483-531): tighten
+        the per-member tile windows from current coordinates without
+        rebuilding lists. Fires every prune_every steps WITHIN a
+        reneighbor interval (the reference aligns to global step count;
+        with its defaults — prune 1000, reneigh 20 — neither ever fires
+        between rebuilds)."""
+        return state._replace(
+            pairs=refresh_pair_ranges(
+                state.clusters, state.pairs, self.n_clusters_pad, GROUP,
+                self.params.cutneigh,
+            )
+        )
+
     def _make_run_fn(self, ntimes: int):
         every = self.params.reneigh_every
         n_intervals = ntimes // every
         tail = ntimes - n_intervals * every
+        prune = self.params.prune_every
+        prune = prune if (prune and 0 < prune < every) else 0
+
+        def plain_steps(state, n):
+            return jax.lax.scan(self._plain_step, state, None, length=n)
 
         def interval(state, _):
-            state, tp_a = jax.lax.scan(
-                self._plain_step, state, None, length=every - 1
-            )
+            if prune:
+                tps = []
+                done = 0
+                while done < every - 1:
+                    n = min(prune, every - 1 - done)
+                    state, tp = plain_steps(state, n)
+                    tps.append(tp)
+                    done += n
+                    if n == prune and done < every - 1:
+                        state = self._prune(state)
+                tp_a = jax.tree_util.tree_map(
+                    lambda *xs: jnp.concatenate(xs), *tps
+                )
+            else:
+                state, tp_a = plain_steps(state, every - 1)
             state, tp_b = self._reneigh_step(state)
             tp = jax.tree_util.tree_map(
                 lambda a, b: jnp.concatenate([a, b[None]]), tp_a, tp_b

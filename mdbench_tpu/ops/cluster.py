@@ -537,23 +537,32 @@ def build_cluster_pairs(
         # kernel can skip tiles outside a per-i-cluster [start, end)
         # range — per-cluster pruning with group-amortized loads (the
         # TPU answer to the reference's per-cluster lists + imasks).
+        # zmax rides along so the start bound can be exact (below).
         zmin_j = jnp.where(keep, cb[:, :, 4], SENTINEL_COORD)
-        zs, jl_sorted = jax.lax.sort(
-            (zmin_j, cand.astype(jnp.int32)), num_keys=1
+        zmax_j = jnp.where(keep, cb[:, :, 5], SENTINEL_COORD)
+        zs, zx_sorted, jl_sorted = jax.lax.sort(
+            (zmin_j, zmax_j, cand.astype(jnp.int32)), num_keys=1
         )
         jl = jl_sorted[:, :list_capacity]
         zs = zs[:, :list_capacity]
+        zx_sorted = zx_sorted[:, :list_capacity]
 
         # per-member tile ranges (8 j16-clusters = 128 atoms per kernel
-        # tile). j needed iff zmax_j >= zmin_i - c and zmin_j <= zmax_i+c;
-        # zmax_j <= zmin_j + 2*slop_z makes the start bound conservative.
+        # tile). j needed iff zmax_j >= zmin_i - c and zmin_j <= zmax_i+c.
+        # end is exact on the sorted zmin; for start, zmax is not monotone
+        # in zmin order, but its running max is — so counting positions
+        # whose PREFIX max zmax stays below the bound is exact too (the
+        # TPU equivalent of the reference's exact atomDistanceInRange
+        # prune, neighbor.c:262-436, at j-cluster granularity; replaces
+        # the old conservative 2*slop_z padding on the start side).
+        rmax = jax.lax.cummax(zx_sorted, axis=1)
         bbm = bb_local[gsafe]  # (chunk, group, 8)
         zmin_i = bbm[:, :, 4]
         zmax_i = bbm[:, :, 5]
-        lo = zmin_i - grid.cutneigh - 2.0 * grid.slop_z
+        lo = zmin_i - grid.cutneigh
         hi = zmax_i + grid.cutneigh
         start = jnp.sum(
-            zs[:, None, :] < lo[:, :, None], axis=2
+            rmax[:, None, :] < lo[:, :, None], axis=2
         ).astype(jnp.int32)
         end = jnp.sum(
             zs[:, None, :] <= hi[:, :, None], axis=2
@@ -580,6 +589,44 @@ def build_cluster_pairs(
         jlist=jlist, ranges=ranges, nj=nj,
         overflow=jnp.stack([jnp.any(ovf_njs), jnp.any(ovf_covs)]),
     )
+
+
+def refresh_pair_ranges(
+    clusters: Clusters,
+    pairs: ClusterPairList,
+    n_clusters_pad: int,
+    group: int,
+    cutneigh: float,
+) -> ClusterPairList:
+    """Prune pass (reference pruneNeighbor, neighbor.c:483-531): without
+    re-binning or rebuilding lists, recompute the per-member tile windows
+    from CURRENT coordinates so j-clusters that drifted out of range drop
+    out of the compute windows. The list keeps its (near-sorted) order;
+    the bounds stay exact for arbitrary order by using the prefix-max of
+    zmax (start) and the suffix-min of zmin (end)."""
+    ng, _, L = pairs.jlist.shape
+    bbox = compute_bboxes(clusters.xc, clusters.yc, clusters.zc)
+    bb16 = make_j16_bboxes(bbox)
+    jl = pairs.jlist.reshape(ng, L)
+    zmin_j = bb16[jl, 4]  # (ng, L)
+    zmax_j = bb16[jl, 5]
+    rmax = jax.lax.cummax(zmax_j, axis=1)
+    rmin = jax.lax.cummin(zmin_j[:, ::-1], axis=1)[:, ::-1]
+
+    bb_local = bbox[:n_clusters_pad].reshape(ng, group, 8)
+    lo = bb_local[:, :, 4] - cutneigh  # (ng, group)
+    hi = bb_local[:, :, 5] + cutneigh
+    start = jnp.sum(rmax[:, None, :] < lo[:, :, None], axis=2).astype(jnp.int32)
+    end = jnp.sum(rmin[:, None, :] <= hi[:, :, None], axis=2).astype(jnp.int32)
+    end = jnp.minimum(end, jnp.minimum(pairs.nj, L)[:, None])
+    start = jnp.minimum(start, end)
+    start_t = start // TILE_J
+    end_t = (end + TILE_J - 1) // TILE_J
+    njg = jnp.max(end_t, axis=1, keepdims=True)
+    ranges = jnp.concatenate([start_t, end_t, njg], axis=1).reshape(
+        ng, 1, 2 * group + 1
+    )
+    return pairs._replace(ranges=ranges)
 
 
 def make_j16_bboxes(bbox: jnp.ndarray) -> jnp.ndarray:

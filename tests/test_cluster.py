@@ -49,6 +49,25 @@ def test_cluster_short_run_matches_verlet_engine():
     assert not np.asarray(out_c.state.overflow).any()
 
 
+def test_cluster_prune_pass_preserves_trajectory():
+    """pruneNeighbor analogue: the in-interval range refresh must not
+    change physics (it may only drop pairs beyond cutneigh). Uses the
+    pallas kernel because only it consumes the tile windows."""
+    base = dict(nx=3, ny=3, nz=3, ntimes=8, reneigh_every=8,
+                kernel="pallas")
+    out_noprune = ClusterSimulation(Params(**base, prune_every=0)).run()
+    out_prune = ClusterSimulation(Params(**base, prune_every=3)).run()
+    np.testing.assert_allclose(
+        out_prune.temps, out_noprune.temps, rtol=1e-12, atol=0
+    )
+    # and the pruned run stays correct vs the verlet engine
+    from mdbench_tpu.engine import Simulation
+
+    out_v = Simulation(Params(nx=3, ny=3, nz=3, ntimes=8,
+                              reneigh_every=8)).run()
+    np.testing.assert_allclose(out_prune.temps, out_v.temps, rtol=1e-8)
+
+
 def test_cluster_capacity_overflow_recovers():
     """Force a tiny list capacity; engine must grow and still be right."""
     p = Params(nx=3, ny=3, nz=3, ntimes=5, reneigh_every=5, kernel="xla")

@@ -88,22 +88,17 @@ class ClusterSimulation:
         x: Optional[np.ndarray] = None,
         v: Optional[np.ndarray] = None,
         adjust: Optional[bool] = None,
+        types: Optional[np.ndarray] = None,
+        tables: Optional[tuple] = None,  # (eps, sig6, cutsq) (T,T) arrays
     ):
-        if params.ntypes != 1:
-            raise NotImplementedError(
-                "cluster scheme kernel is single-type; use scheme=verlet "
-                "for EXPLICIT_TYPES workloads"
-            )
         self.params = params
         if x is None and params.input_file:
             from mdbench_tpu.io.readers import read_atom
 
             r = read_atom(params)
-            if r.ntypes != 1:
-                raise NotImplementedError(
-                    "cluster scheme is single-type; use scheme=verlet"
-                )
             x, v = r.x, r.v
+            if r.ntypes > 1 and types is None:
+                types = r.types
             if adjust is None:
                 adjust = False
         if x is None:
@@ -111,6 +106,26 @@ class ClusterSimulation:
             if adjust is None:
                 adjust = True
         self.natoms = self.nlocal = x.shape[0]
+        # EXPLICIT_TYPES tables (reference clusterpair/atom.c:78-92): the
+        # reference fills every pair slot with the single param
+        # epsilon/sigma; custom tables can be injected for tests
+        self.ntypes = int(params.ntypes)
+        if types is None:
+            types = np.zeros(self.nlocal, np.int32)
+        self._types0 = np.asarray(types, np.int32)
+        nt_seen = int(self._types0.max()) + 1 if self.nlocal else 1
+        self.ntypes = max(self.ntypes, nt_seen)
+        if tables is None and self.ntypes > 1:
+            nt = self.ntypes
+            tables = (
+                np.full((nt, nt), params.epsilon),
+                np.full((nt, nt), params.sigma6),
+                np.full((nt, nt), params.cutforce**2),
+            )
+        self.type_tables = (
+            tuple(np.asarray(t, np.float64) for t in tables)
+            if tables is not None else None
+        )
         self.scales: ThermoScales = setup_thermo(params, self.natoms)
         self.dtforce = adjusted_dtforce(params, self.scales)
         if adjust:
@@ -166,6 +181,18 @@ class ClusterSimulation:
         vf[: self.nlocal] = self._v0
         self.x_flat0 = jnp.asarray(xf, dtype)
         self.v_flat0 = jnp.asarray(vf, dtype)
+        self.types_flat0 = (
+            jnp.asarray(self._types0) if self.type_tables is not None
+            else None
+        )
+        if self.type_tables is not None:
+            self._tables_jnp = tuple(
+                jnp.asarray(t, dtype) for t in self.type_tables
+            )
+            self._tables_static = tuple(
+                tuple(map(tuple, np.asarray(t, np.float64)))
+                for t in self.type_tables
+            )
         self.interpret = jax.devices()[0].platform == "cpu"
 
     # -- device phases ----------------------------------------------------
@@ -182,7 +209,7 @@ class ClusterSimulation:
         x_flat = self._wrap_flat(x_flat)
         clusters, ovf_c = build_clusters(
             self.grid, x_flat, self.nlocal, self.n_clusters_pad,
-            self.ghost_cap, group=GROUP,
+            self.ghost_cap, group=GROUP, types=self.types_flat0,
         )
         aid = clusters.atom_id
         valid = aid >= 0
@@ -241,23 +268,30 @@ class ClusterSimulation:
     def _force_from(self, clusters: Clusters, pairs: ClusterPairList):
         p = self.params
         cutsq = p.cutforce**2
+        typed = self.type_tables is not None
         if _use_pallas(p):
             # "pallas" / "auto" -> streaming kernel (j-tiles pre-gathered
             # per step, zero in-kernel dynamic slices); "pallas_ds" keeps
             # the round-1 dynamic-slice kernel as a comparison twin
-            fn = (
-                lj_cluster_force_pallas
-                if p.kernel == "pallas_ds"
-                else lj_cluster_force_pallas_stream
-            )
-            return fn(
+            # (single-type only)
+            if p.kernel == "pallas_ds" and not typed:
+                return lj_cluster_force_pallas(
+                    clusters.xc, clusters.yc, clusters.zc, pairs.jlist,
+                    pairs.ranges, self.n_clusters_pad, GROUP, cutsq,
+                    p.sigma6, p.epsilon, interpret=self.interpret,
+                )
+            return lj_cluster_force_pallas_stream(
                 clusters.xc, clusters.yc, clusters.zc, pairs.jlist,
                 pairs.ranges, self.n_clusters_pad, GROUP, cutsq,
                 p.sigma6, p.epsilon, interpret=self.interpret,
+                tc=clusters.tc if typed else None,
+                tables=self._tables_static if typed else None,
             )
         return lj_cluster_force_xla(
             clusters.xc, clusters.yc, clusters.zc, pairs.jlist,
             self.n_clusters_pad, GROUP, cutsq, p.sigma6, p.epsilon,
+            tc=clusters.tc if typed else None,
+            tables=self._tables_jnp if typed else None,
         )
 
     # -- stepping ----------------------------------------------------------

@@ -127,6 +127,10 @@ class Clusters(NamedTuple):
     inv_map: jnp.ndarray  # (nlocal,) int32 — atom row -> cluster*8+slot
     # (the inverse of atom_id; lets the flatten step be a GATHER — a
     # column scatter costs ~50 ms at 131k atoms on TPU)
+    tc: jnp.ndarray  # (C_total, 8) atom types, FLOAT-encoded (0.0..T-1)
+    # so type planes ride the same packed coordinate gathers/VPU compares
+    # (reference cl_type, clusterpair/atom.h:36; EXPLICIT_TYPES tables
+    # atom.c:78-92)
 
 
 class ClusterHalo(NamedTuple):
@@ -162,6 +166,7 @@ def build_clusters(
     n_clusters_pad: int,  # local cluster capacity (multiple of group)
     ghost_capacity: int,  # ghost cluster capacity
     group: int = 1,  # pad each column to a multiple of `group` clusters
+    types: jnp.ndarray | None = None,  # (>= nlocal,) int32 atom types
 ) -> tuple[Clusters, jnp.ndarray]:
     """Sort atoms by (column, z) and chop each COLUMN's run into 8-atom
     clusters, padding the last cluster of every column (reference:
@@ -229,6 +234,11 @@ def build_clusters(
         return full.at[:n_clusters_pad].set(v)
 
     xc, yc, zc = plane(0), plane(1), plane(2)
+    if types is None:
+        tc = jnp.zeros((total, M), dtype)
+    else:
+        tv = jnp.where(valid, types[:nlocal][atom_rows].astype(dtype), 0.0)
+        tc = jnp.zeros((total, M), dtype).at[:n_clusters_pad].set(tv)
     aid = jnp.where(valid, atom_rows, -1)
     # inverse mapping via one 1-D scatter (cheap, unlike 2-D scatters)
     slots = jnp.arange(n_clusters_pad * M, dtype=jnp.int32).reshape(
@@ -240,7 +250,7 @@ def build_clusters(
     )
     bbox = compute_bboxes(xc, yc, zc)
     return Clusters(
-        xc=xc, yc=yc, zc=zc, bbox=bbox, atom_id=aid, inv_map=inv
+        xc=xc, yc=yc, zc=zc, bbox=bbox, atom_id=aid, inv_map=inv, tc=tc
     ), overflow
 
 
@@ -360,7 +370,7 @@ def update_cluster_pbc(
     xc = clusters.xc.at[g0 : g0 + nrows_g].set(xg)
     yc = clusters.yc.at[g0 : g0 + nrows_g].set(yg)
     zc = clusters.zc.at[g0 : g0 + nrows_g].set(zg)
-    if update_bbox:
+    if update_bbox:  # reneighbor-time call: also refresh bboxes + types
         bbg = clusters.bbox[row_map]
         shift8 = jnp.stack(
             [shx, shx, shy, shy, shz, shz,
@@ -368,9 +378,11 @@ def update_cluster_pbc(
             axis=1,
         )
         bbox = clusters.bbox.at[g0 : g0 + nrows_g].set(bbg + shift8)
+        tc = clusters.tc.at[g0 : g0 + nrows_g].set(clusters.tc[row_map])
     else:
         bbox = clusters.bbox
-    return clusters._replace(xc=xc, yc=yc, zc=zc, bbox=bbox)
+        tc = clusters.tc
+    return clusters._replace(xc=xc, yc=yc, zc=zc, bbox=bbox, tc=tc)
 
 
 def bin_clusters(grid: ClusterGrid, bb: jnp.ndarray):

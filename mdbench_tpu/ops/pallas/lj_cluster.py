@@ -233,17 +233,30 @@ def lj_cluster_force_pallas(
 
 def _kernel_stream(
     rg_ref, xj_ref, yj_ref, zj_ref, xi_ref, yi_ref, zi_ref,
-    fx_ref, fy_ref, fz_ref,
-    ax, ay, az,
-    *, nslab: int, cutforcesq: float, sigma6: float, epsilon: float,
-    approx_rcp: bool,
+    *rest,
+    nslab: int, cutforcesq: float, sigma6: float, epsilon: float,
+    approx_rcp: bool, tables=None,
 ):
     """Streaming variant: every operand arrives as a pipelined BlockSpec
     DMA and the slab loop is statically unrolled — the kernel issues ZERO
     scalar-core dynamic slices. Round-1 decomposition (PERF.md) showed
     the old kernel spent 3.5 of 5.3 ms on serialized dynamic-slice
     address issue; streaming moves j-tile assembly to one XLA gather per
-    step (repack_jtiles) and lets the Pallas pipeline hide the loads."""
+    step (repack_jtiles) and lets the Pallas pipeline hide the loads.
+
+    tables (static): None for single-type, else (eps, sig6, cutsq) nested
+    float tuples indexed [ti][tj] (reference EXPLICIT_TYPES per-type-pair
+    tables, clusterpair/atom.c:78-92). Typed runs add tj_ref/ti_ref
+    operands; per-slab the j-side table rows E_a[l] = tab[a][tj_l] are
+    assembled once (T^2 cheap (1,128) selects), and per tile the i-side
+    mixes them with T (8,128) selects on the sublane type."""
+    if tables is None:
+        fx_ref, fy_ref, fz_ref, ax, ay, az = rest
+        tj_ref = ti_ref = None
+    else:
+        tj_ref, ti_ref, fx_ref, fy_ref, fz_ref, ax, ay, az = rest
+        eps_t, sig6_t, cutsq_t = tables
+        T = len(eps_t)
     g = pl.program_id(0)
     njg = rg_ref[0, 0, 2 * GROUP]
 
@@ -254,6 +267,8 @@ def _kernel_stream(
     xis = [xi_ref[ic, :].reshape(8, 1) for ic in range(GROUP)]
     yis = [yi_ref[ic, :].reshape(8, 1) for ic in range(GROUP)]
     zis = [zi_ref[ic, :].reshape(8, 1) for ic in range(GROUP)]
+    if tables is not None:
+        tis = [ti_ref[ic, :].reshape(8, 1) for ic in range(GROUP)]
     starts = [rg_ref[0, 0, ic] for ic in range(GROUP)]
     ends = [rg_ref[0, 0, GROUP + ic] for ic in range(GROUP)]
 
@@ -263,6 +278,22 @@ def _kernel_stream(
             xj = xj_ref[0, s : s + 1, :]  # (1, 128) static slice
             yj = yj_ref[0, s : s + 1, :]
             zj = zj_ref[0, s : s + 1, :]
+            if tables is not None:
+                tj = tj_ref[0, s : s + 1, :]
+                # per-slab j-side table rows, one per i-type
+                eps_a, sig_a, cut_a = [], [], []
+                for a in range(T):
+                    e = jnp.full_like(tj, eps_t[a][0])
+                    s6 = jnp.full_like(tj, sig6_t[a][0])
+                    cq = jnp.full_like(tj, cutsq_t[a][0])
+                    for b in range(1, T):
+                        sel = tj == float(b)
+                        e = jnp.where(sel, eps_t[a][b], e)
+                        s6 = jnp.where(sel, sig6_t[a][b], s6)
+                        cq = jnp.where(sel, cutsq_t[a][b], cq)
+                    eps_a.append(e)
+                    sig_a.append(s6)
+                    cut_a.append(cq)
             for ic in range(GROUP):
                 active = (s >= starts[ic]) & (s < ends[ic])
 
@@ -272,15 +303,25 @@ def _kernel_stream(
                     dy = yis[ic] - yj
                     dz = zis[ic] - zj
                     rsq = dx * dx + dy * dy + dz * dz
-                    mask = (rsq < cutforcesq) & (rsq > 0.0)
+                    if tables is None:
+                        eps, sig6, cutsq = epsilon, sigma6, cutforcesq
+                    else:
+                        ti = tis[ic]
+                        eps, sig6, cutsq = eps_a[0], sig_a[0], cut_a[0]
+                        for a in range(1, T):
+                            sel = ti == float(a)
+                            eps = jnp.where(sel, eps_a[a], eps)
+                            sig6 = jnp.where(sel, sig_a[a], sig6)
+                            cutsq = jnp.where(sel, cut_a[a], cutsq)
+                    mask = (rsq < cutsq) & (rsq > 0.0)
                     rs = jnp.where(mask, rsq, 1.0)
                     if approx_rcp:
                         sr2 = pl.reciprocal(rs, approx=True)
                     else:
                         sr2 = 1.0 / rs
-                    sr6 = sr2 * sr2 * sr2 * sigma6
+                    sr6 = sr2 * sr2 * sr2 * sig6
                     gf = jnp.where(
-                        mask, 48.0 * epsilon * sr6 * (sr6 - 0.5) * sr2, 0.0
+                        mask, 48.0 * eps * sr6 * (sr6 - 0.5) * sr2, 0.0
                     )
                     r0 = ic * 8
                     ax[r0 : r0 + 8, :] += dx * gf
@@ -301,7 +342,7 @@ def _kernel_stream(
     )[0]
 
 
-def repack_jtiles(xc, yc, zc, jlist):
+def repack_jtiles(xc, yc, zc, jlist, tc=None):
     """Per-step XLA repack: gather each group's j16-cluster coordinate
     rows into dense planar slab tiles (NG, S, 128) — slab s carries
     8 j16-clusters, cluster k of the slab on lanes [16k, 16k+16). One
@@ -309,20 +350,26 @@ def repack_jtiles(xc, yc, zc, jlist):
     dynamic-slice loads per slab. This is the TPU analogue of the
     contiguous-aligned-load property of the reference's cluster rows
     (src/clusterpair/force_lj.c:645-928): spend one gather per step so
-    the hot loop only ever touches dense, streaming memory."""
+    the hot loop only ever touches dense, streaming memory.
+
+    With tc (float-encoded types), the type plane rides the same gather
+    as a 4th packed column and a tj tile array is returned too."""
     ng, _, L = jlist.shape
     S = L // TILE_J_STREAM
     cj = xc.shape[0] // 2
-    packed = jnp.concatenate(
-        [xc.reshape(cj, 16), yc.reshape(cj, 16), zc.reshape(cj, 16)],
-        axis=1,
-    )  # (cj, 48)
-    rows = packed[jlist.reshape(ng * L)]  # (NG*L, 48)
-    r = rows.reshape(ng, S, TILE_J_STREAM, 48)
+    planes = [xc.reshape(cj, 16), yc.reshape(cj, 16), zc.reshape(cj, 16)]
+    if tc is not None:
+        planes.append(tc.reshape(cj, 16))
+    packed = jnp.concatenate(planes, axis=1)  # (cj, 48 or 64)
+    rows = packed[jlist.reshape(ng * L)]
+    r = rows.reshape(ng, S, TILE_J_STREAM, packed.shape[1])
     xj = r[..., 0:16].reshape(ng, S, 128)
     yj = r[..., 16:32].reshape(ng, S, 128)
     zj = r[..., 32:48].reshape(ng, S, 128)
-    return xj, yj, zj
+    if tc is None:
+        return xj, yj, zj
+    tj = r[..., 48:64].reshape(ng, S, 128)
+    return xj, yj, zj, tj
 
 
 TILE_J_STREAM = 8  # j16-clusters per streamed slab (= 128 lanes)
@@ -339,6 +386,8 @@ def lj_cluster_force_pallas_stream(
     epsilon: float,
     interpret: bool = False,
     approx_rcp: bool = False,
+    tc=None,
+    tables=None,  # (eps, sig6, cutsq) nested float tuples, static
 ):
     """Streaming-DMA cluster force kernel. Returns (fxc, fyc, fzc) each
     (n_clusters_pad, 8)."""
@@ -348,17 +397,23 @@ def lj_cluster_force_pallas_stream(
     assert ng * group == n_clusters_pad
     assert ng % 8 == 0, "n_clusters_pad must be a multiple of 8*GROUP"
     assert xc.shape[0] % 2 == 0, "row count must pair into j16 clusters"
+    assert (tc is None) == (tables is None)
     nslab = L // TILE_J_STREAM
     rdim = ranges.shape[2]
     dtype = xc.dtype
 
-    xj, yj, zj = repack_jtiles(xc, yc, zc, jlist)
+    typed = tables is not None
+    if typed:
+        xj, yj, zj, tj = repack_jtiles(xc, yc, zc, jlist, tc)
+    else:
+        xj, yj, zj = repack_jtiles(xc, yc, zc, jlist)
 
     kern = functools.partial(
         _kernel_stream,
         nslab=nslab,
         cutforcesq=float(cutforcesq), sigma6=float(sigma6),
         epsilon=float(epsilon), approx_rcp=bool(approx_rcp),
+        tables=tables,
     )
     jt_block = pl.BlockSpec(
         (1, nslab, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
@@ -369,15 +424,20 @@ def lj_cluster_force_pallas_stream(
     out_block = pl.BlockSpec(
         (1, 8, 128), lambda g: (g // 8, 0, 0), memory_space=pltpu.VMEM
     )
+    in_specs = [
+        pl.BlockSpec((1, 1, rdim), lambda g: (g, 0, 0),
+                     memory_space=pltpu.SMEM),
+        jt_block, jt_block, jt_block,
+        xi_block, xi_block, xi_block,
+    ]
+    operands = [ranges, xj, yj, zj, xc, yc, zc]
+    if typed:
+        in_specs += [jt_block, xi_block]
+        operands += [tj, tc]
     out = pl.pallas_call(
         kern,
         grid=(ng,),
-        in_specs=[
-            pl.BlockSpec((1, 1, rdim), lambda g: (g, 0, 0),
-                         memory_space=pltpu.SMEM),
-            jt_block, jt_block, jt_block,
-            xi_block, xi_block, xi_block,
-        ],
+        in_specs=in_specs,
         out_specs=[out_block, out_block, out_block],
         out_shape=[
             jax.ShapeDtypeStruct((ng // 8, 8, 128), dtype),
@@ -393,7 +453,7 @@ def lj_cluster_force_pallas_stream(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(ranges, xj, yj, zj, xc, yc, zc)
+    )(*operands)
     fx, fy, fz = out
     return (
         fx.reshape(n_clusters_pad, 8),
@@ -405,10 +465,13 @@ def lj_cluster_force_pallas_stream(
 def lj_cluster_force_xla(
     xc, yc, zc, jlist, n_clusters_pad: int, group: int,
     cutforcesq, sigma6, epsilon,
+    tc=None, tables=None,  # typed runs: type plane + (T,T) jnp tables
 ):
     """Pure-XLA cluster force — correctness oracle for the Pallas kernel
     and the CPU fallback (the reference keeps a scalar kernel for the
-    same purpose, computeForceLJRef, force_lj.c:47-165)."""
+    same purpose, computeForceLJRef, force_lj.c:47-165). tables =
+    (epsilon, sigma6, cutforcesq) each (T, T) arrays for EXPLICIT_TYPES
+    workloads (reference clusterpair/atom.c:78-92)."""
     ng, _, L = jlist.shape
     jl = jlist.reshape(ng, L)
     # gather 16-atom j-cluster planes: (ng, L, 16)
@@ -423,6 +486,16 @@ def lj_cluster_force_xla(
     xi = xc[: n_clusters_pad].reshape(ng, group * 8, 1)
     yi = yc[: n_clusters_pad].reshape(ng, group * 8, 1)
     zi = zc[: n_clusters_pad].reshape(ng, group * 8, 1)
+
+    if tables is not None:
+        eps_t, sig6_t, cutsq_t = tables
+        ti = tc[: n_clusters_pad].reshape(ng, group * 8, 1).astype(jnp.int32)
+        tj = (
+            tc.reshape(cjn, 16)[jl].reshape(ng, 1, L * 16).astype(jnp.int32)
+        )
+        epsilon = eps_t[ti, tj]
+        sigma6 = sig6_t[ti, tj]
+        cutforcesq = cutsq_t[ti, tj]
 
     dx = xi - xj
     dy = yi - yj

@@ -49,6 +49,58 @@ def test_cluster_short_run_matches_verlet_engine():
     assert not np.asarray(out_c.state.overflow).any()
 
 
+def test_cluster_multitype_matches_dense_and_pallas():
+    """EXPLICIT_TYPES in the cluster scheme (reference clusterpair/
+    atom.c:78-92): two atom types with NON-uniform pair tables, checked
+    against the typed dense oracle, and the typed streaming Pallas kernel
+    against the typed XLA kernel."""
+    from mdbench_tpu.ops.dense import lj_force_dense_typed
+    from mdbench_tpu.state import TypeTables
+
+    p = Params(nx=3, ny=3, nz=3, ntypes=2, kernel="xla")
+    x, v, _ = create_fcc_lattice(p)
+    rng = np.random.RandomState(7)
+    types = rng.randint(0, 2, x.shape[0]).astype(np.int32)
+    eps = np.array([[1.0, 0.7], [0.7, 1.3]])
+    sig = np.array([[1.0, 0.95], [0.95, 1.05]])
+    sig6 = sig**6
+    cutsq = np.full((2, 2), p.cutforce**2)
+    tables = (eps, sig6, cutsq)
+
+    sim = ClusterSimulation(p, x=x, v=v, types=types, tables=tables)
+    f = sim.first_force_atoms()
+    tt = TypeTables(
+        types=jnp.asarray(types),
+        epsilon=jnp.asarray(eps), sigma6=jnp.asarray(sig6),
+        cutforcesq=jnp.asarray(cutsq), cutneighsq=jnp.asarray(cutsq),
+    )
+    f_ref = lj_force_dense_typed(
+        jnp.asarray(x), jnp.asarray(types), sim.prd, tt
+    )
+    np.testing.assert_allclose(f, np.asarray(f_ref), rtol=1e-9, atol=1e-9)
+
+    p2 = Params(nx=3, ny=3, nz=3, ntypes=2, kernel="pallas")
+    sim2 = ClusterSimulation(p2, x=x, v=v, types=types, tables=tables)
+    f2 = sim2.first_force_atoms()
+    np.testing.assert_allclose(f2, f, rtol=1e-6, atol=1e-7)
+
+
+def test_cluster_two_atomtype_dmp_matches_verlet():
+    """The two-atomtype copper .dmp (reference data/) runs through the
+    cluster scheme and matches the verlet engine (EXPLICIT_TYPES
+    end-to-end parity)."""
+    from mdbench_tpu.engine import Simulation
+
+    path = ("/root/reference/data/copper_melting/"
+            "input_lj_cu_two_atomtypes_20x20x20.dmp")
+    pv = Params(input_file=path, ntimes=6, reneigh_every=3)
+    pc = Params(input_file=path, ntimes=6, reneigh_every=3, kernel="xla")
+    out_v = Simulation(pv).run()
+    out_c = ClusterSimulation(pc).run()
+    assert out_v.temps.shape == out_c.temps.shape
+    np.testing.assert_allclose(out_c.temps, out_v.temps, rtol=1e-8)
+
+
 def test_cluster_prune_pass_preserves_trajectory():
     """pruneNeighbor analogue: the in-interval range refresh must not
     change physics (it may only drop pairs beyond cutneigh). Uses the

@@ -36,6 +36,13 @@ HELP = """MD Bench (TPU): A performance-oriented prototyping harness for MD algo
 --scheme <verlet|cluster>:  neighbor scheme (TPU axis; reference OPT_SCHEME)
 --precision <sp|dp>:        floating point precision (reference DATA_TYPE)
 --kernel <auto|xla|pallas>: force-kernel backend
+--trace-index <prefix>:     dump INDEX_TRACER-style neighbor-index trace
+                            of the initial lists (reference tracing.h:47-123)
+--trace-mem <prefix>:       dump MEM_TRACER-style address-stream trace
+                            (reference tracing.h:24-45)
+--profile <logdir>:         capture a jax.profiler device trace of the run
+                            (LIKWID/xprof analogue; named force/reneighbor
+                            scopes appear as spans)
 """
 
 
@@ -91,6 +98,12 @@ def parse_args(argv) -> Params:
             p.precision = nxt()
         elif a == "--kernel":
             p.kernel = nxt()
+        elif a == "--trace-index":
+            p.trace_index = nxt()
+        elif a == "--trace-mem":
+            p.trace_mem = nxt()
+        elif a == "--profile":
+            p.profile_dir = nxt()
         elif a in ("-h", "--help"):
             print(HELP)
             sys.exit(0)
@@ -134,6 +147,29 @@ def main(argv=None) -> int:
 
         write_atom(params.write_atom_file, sim, state0)
 
+    if params.trace_index or params.trace_mem:
+        # reference traceAddresses hook (main.c:240-242): dump the
+        # initial lists' index / address streams (step 0)
+        from mdbench_tpu import tracing
+
+        if params.scheme == "cluster":
+            ng, _, L = state0.pairs.jlist.shape
+            nb = np.asarray(state0.pairs.jlist).reshape(ng, L)
+            nn = np.asarray(
+                np.minimum(np.asarray(state0.pairs.nj), L)
+            )
+        else:
+            nb = np.asarray(state0.nlist.neighbors[: sim.nlocal])
+            nn = np.asarray(state0.nlist.numneigh[: sim.nlocal])
+        if params.trace_index:
+            print("tracing index stream ->",
+                  tracing.dump_index_trace(params.trace_index, nb, nn, 0))
+        if params.trace_mem:
+            fs = 8 if params.precision == "dp" else 4
+            print("tracing address stream ->",
+                  tracing.dump_mem_trace(params.trace_mem, nb, nn, 0,
+                                         float_size=fs))
+
     want_traj = bool(params.vtk_file or params.xtc_file)
     if want_traj and params.scheme != "cluster":
         from mdbench_tpu.io.vtk import write_atoms_to_vtk_file
@@ -157,6 +193,12 @@ def main(argv=None) -> int:
         out = sim.run_chunked(chunk, nchunks, emit)
         if writer is not None:
             xtc_end(writer)
+    elif params.profile_dir:
+        from mdbench_tpu.tracing import profile
+
+        with profile(params.profile_dir):
+            out = sim.run()
+        print("profile trace ->", params.profile_dir)
     else:
         out = sim.run()
 
@@ -200,14 +242,32 @@ def main(argv=None) -> int:
     if params.compute_stats:
         stats = Stats()
         if params.scheme == "cluster":
-            # cluster-pair work: pair interactions = tiles * 128 atoms *
-            # 8 i-atoms is an overcount; report list-entry granularity
-            # (num_neighs analogue, reference clusterpair/stats.c:26-85)
-            rg = np.asarray(out.state.pairs.ranges)[:, 0, :]
-            tiles = int((rg[:, 16:32] - rg[:, :16]).sum())
-            stats.num_neighs = tiles * 8  # 16-atom j-clusters touched
-            stats.total_force_neighs = tiles * 128 * (params.ntimes + 1)
-            stats.total_force_iters = tiles * (params.ntimes + 1)
+            # exact cluster counters (reference clusterpair/stats.c:
+            # 26-85) from one masked pass over the final state's windows
+            from mdbench_tpu.stats import compute_cluster_stats
+
+            cs = compute_cluster_stats(
+                out.state.clusters, out.state.pairs, sim.n_clusters_pad,
+                16, params.cutforce**2, params.cutneigh**2,
+            )
+            stats.num_neighs = cs["clusters_processed"]
+            stats.total_force_neighs = (
+                cs["pairs_within_cutforce"] * (params.ntimes + 1)
+            )
+            stats.total_force_iters = cs["tiles"] * (params.ntimes + 1)
+            print(
+                "\tCluster pairs processed: %d (within force cutoff: %d)"
+                % (cs["clusters_processed"], cs["clusters_within_cutoff"])
+            )
+            print(
+                "\tPadded pair lanes: %d, real pairs in cutoff: %d "
+                "(efficiency %.1f%%)"
+                % (
+                    cs["padded_pairs"], cs["pairs_within_cutforce"],
+                    100.0 * cs["pairs_within_cutforce"]
+                    / max(cs["padded_pairs"], 1),
+                )
+            )
         else:
             numneigh = np.asarray(out.state.nlist.numneigh[: sim.nlocal])
             stats.accumulate_list(numneigh, params.ntimes + 1)
@@ -220,14 +280,20 @@ def main(argv=None) -> int:
         )
 
     if params.vtk_file:
-        from mdbench_tpu.io.vtk import write_atoms_to_vtk_file
-
         if params.scheme == "cluster":
-            xf, _vf = sim._flatten(out.state)
-            xs = np.asarray(xf[: sim.nlocal])
+            # the reference's clusterpair VTK writes 4 files per step:
+            # local/ghost atoms + local/ghost cluster edges (vtk.c:14-230)
+            from mdbench_tpu.io.vtk import write_cluster_vtk_files
+
+            write_cluster_vtk_files(
+                params.vtk_file, out.state.clusters, sim.n_clusters_pad,
+                int(out.state.halo.nghost), params.ntimes,
+            )
         else:
+            from mdbench_tpu.io.vtk import write_atoms_to_vtk_file
+
             xs = np.asarray(out.state.x[: sim.nlocal])
-        write_atoms_to_vtk_file(params.vtk_file, xs, params.ntimes)
+            write_atoms_to_vtk_file(params.vtk_file, xs, params.ntimes)
     return 0
 
 

@@ -102,6 +102,11 @@ class Params:
     # Force-kernel backend: "xla" (fused XLA program) or "pallas"
     # (hand-written Pallas TPU kernel); "auto" picks per scheme.
     kernel: str = "auto"
+    # Tracing/profiling hooks (reference MEM_TRACER / INDEX_TRACER /
+    # LIKWID, SURVEY §5.1): output path prefixes; empty = off
+    trace_index: str = ""
+    trace_mem: str = ""
+    profile_dir: str = ""
 
     # Capacity knobs (padded fixed shapes; auto-grown on overflow)
     maxneighs: int = 100  # reference: neighbor.c:59

@@ -220,7 +220,12 @@ class Simulation:
 
     def _reneighbor(self, x, v, types):
         """Wrap atoms, rebuild halo + ghosts + cells + neighbor list.
-        (reference reneighbour(), main.c:76-95). Pure function of state."""
+        (reference reneighbour(), main.c:76-95). Pure function of state.
+        Named scope = LIKWID "reneighbour" region in xprof traces."""
+        with jax.named_scope("reneighbor"):
+            return self._reneighbor_inner(x, v, types)
+
+    def _reneighbor_inner(self, x, v, types):
         p, caps = self.params, self.caps
         x = wrap_into_box(x, self.prd, self.nlocal)
         halo = setup_pbc(
@@ -240,6 +245,10 @@ class Simulation:
         return x, types, halo, nlist, overflow
 
     def _force(self, x, types, nlist, halo):
+        with jax.named_scope("force"):  # LIKWID "force" region analogue
+            return self._force_inner(x, types, nlist, halo)
+
+    def _force_inner(self, x, types, nlist, halo):
         p, caps = self.params, self.caps
         if p.force_field == FF_LJ:
             if p.half_neigh:
@@ -279,6 +288,19 @@ class Simulation:
         n_intervals = ntimes // every
         tail = ntimes - n_intervals * every
 
+        # spatial resort cadence (reference sortAtom every resort_every
+        # steps inside reneighbour, main.c + neighbor.c:360-426). Only
+        # cadences aligned with the rebuild cadence are representable in
+        # the static scan structure (the reference's defaults are:
+        # resort 400 = 20 x reneigh 20).
+        resort = (
+            p.resort_every
+            if (p.sort_atoms and p.resort_every
+                and p.resort_every % every == 0
+                and p.resort_every <= ntimes)
+            else 0
+        )
+
         def plain_step(state: StepState, _):
             x, v = initial_integrate(state.x, state.v, state.f, dt, dtforce, nlocal)
             x = update_pbc(x, state.halo, caps.nlocal_pad)
@@ -287,9 +309,16 @@ class Simulation:
             t, pr = compute_thermo(v, nlocal, mass, scales)
             return state._replace(x=x, v=v, f=f), (t, pr)
 
-        def reneigh_step(state: StepState):
+        def reneigh_step(state: StepState, do_resort: bool = False):
             x, v = initial_integrate(state.x, state.v, state.f, dt, dtforce, nlocal)
-            x, types, halo, nlist, ovf = self._reneighbor(x, v, state.types)
+            types = state.types
+            if do_resort:
+                from mdbench_tpu.ops.cells import sort_atoms_device
+
+                x, v, types = sort_atoms_device(
+                    self.grid, x, v, types, nlocal
+                )
+            x, types, halo, nlist, ovf = self._reneighbor(x, v, types)
             f = self._force(x, types, nlist, halo)
             v = final_integrate(v, f, dtforce, nlocal)
             t, pr = compute_thermo(v, nlocal, mass, scales)
@@ -299,26 +328,62 @@ class Simulation:
             )
             return new_state, (t, pr)
 
-        def interval(state: StepState, _):
+        def interval(state: StepState, _, do_resort: bool = False):
             state, tp_a = jax.lax.scan(plain_step, state, None, length=every - 1)
-            state, tp_b = reneigh_step(state)
+            state, tp_b = reneigh_step(state, do_resort)
             tp = jax.tree_util.tree_map(
                 lambda a, b: jnp.concatenate([a, b[None]]), tp_a, tp_b
             )
             return state, tp
 
         def run(state: StepState, _flags):
-            if n_intervals > 0:
-                state, tps = jax.lax.scan(interval, state, None, length=n_intervals)
-                temps = tps[0].reshape(-1)
-                press = tps[1].reshape(-1)
+            tp_parts = []
+            n_left = n_intervals
+            if resort:
+                per = resort // every
+                n_periods = n_intervals // per
+                n_left = n_intervals - n_periods * per
+
+                def period(state, _):
+                    if per > 1:
+                        state, tp_a = jax.lax.scan(
+                            interval, state, None, length=per - 1
+                        )
+                    state, tp_b = interval(state, None, do_resort=True)
+                    if per > 1:
+                        tp = jax.tree_util.tree_map(
+                            lambda a, b: jnp.concatenate([a, b[None]]),
+                            tp_a, tp_b,
+                        )
+                    else:
+                        tp = jax.tree_util.tree_map(
+                            lambda b: b[None], tp_b
+                        )
+                    return state, tp
+
+                if n_periods > 0:
+                    state, tps = jax.lax.scan(
+                        period, state, None, length=n_periods
+                    )
+                    tp_parts.append(
+                        jax.tree_util.tree_map(
+                            lambda a: a.reshape(-1), tps
+                        )
+                    )
+            if n_left > 0:
+                state, tps = jax.lax.scan(interval, state, None, length=n_left)
+                tp_parts.append(
+                    jax.tree_util.tree_map(lambda a: a.reshape(-1), tps)
+                )
+            if tail:
+                state, tp_t = jax.lax.scan(plain_step, state, None, length=tail)
+                tp_parts.append(tp_t)
+            if tp_parts:
+                temps = jnp.concatenate([t[0] for t in tp_parts])
+                press = jnp.concatenate([t[1] for t in tp_parts])
             else:
                 temps = jnp.zeros((0,), state.v.dtype)
                 press = jnp.zeros((0,), state.v.dtype)
-            if tail:
-                state, tp_t = jax.lax.scan(plain_step, state, None, length=tail)
-                temps = jnp.concatenate([temps, tp_t[0]])
-                press = jnp.concatenate([press, tp_t[1]])
             return state, (temps, press)
 
         return jax.jit(run, donate_argnums=(0,))

@@ -45,6 +45,7 @@ from mdbench_tpu.ops.pallas.lj_cluster import (
     lj_cluster_force_pallas,
     lj_cluster_force_pallas_stream,
     lj_cluster_force_xla,
+    lj_cluster_force_xla_half,
 )
 from mdbench_tpu.state import SENTINEL_COORD
 from mdbench_tpu.thermo import ThermoScales, adjust_thermo, adjusted_dtforce, setup_thermo
@@ -205,6 +206,12 @@ class ClusterSimulation:
         return x_flat.at[: self.nlocal].set(xl)
 
     def _reneighbor_from_flat(self, x_flat, v_flat):
+        # named scope = LIKWID "reneighbour" region (SURVEY §5.1): shows
+        # as a span in jax.profiler/xprof traces of the compiled step
+        with jax.named_scope("reneighbor"):
+            return self._reneighbor_from_flat_inner(x_flat, v_flat)
+
+    def _reneighbor_from_flat_inner(self, x_flat, v_flat):
         p = self.params
         x_flat = self._wrap_flat(x_flat)
         clusters, ovf_c = build_clusters(
@@ -266,9 +273,24 @@ class ClusterSimulation:
         return x_flat, v_flat
 
     def _force_from(self, clusters: Clusters, pairs: ClusterPairList):
+        with jax.named_scope("force"):  # LIKWID "force" region analogue
+            return self._force_from_inner(clusters, pairs)
+
+    def _force_from_inner(self, clusters: Clusters, pairs: ClusterPairList):
         p = self.params
         cutsq = p.cutforce**2
         typed = self.type_tables is not None
+        if p.half_neigh:
+            # Newton half-pair axis (reference param.half_neigh,
+            # clusterpair/force_lj.c:167-431): XLA kernel — the Newton
+            # scatter is the anti-pattern the Pallas full kernel avoids,
+            # so half runs on the XLA path on every backend (PERF.md)
+            return lj_cluster_force_xla_half(
+                clusters.xc, clusters.yc, clusters.zc, pairs.jlist,
+                self.n_clusters_pad, GROUP, cutsq, p.sigma6, p.epsilon,
+                tc=clusters.tc if typed else None,
+                tables=self._tables_jnp if typed else None,
+            )
         if _use_pallas(p):
             # "pallas" / "auto" -> streaming kernel (j-tiles pre-gathered
             # per step, zero in-kernel dynamic slices); "pallas_ds" keeps

@@ -28,16 +28,27 @@ def save_checkpoint(path: str, sim, state, step: int) -> None:
         natoms=sim.natoms,
         scheme=sim.params.scheme,
         force_field=sim.params.force_field,
+        ntypes=getattr(sim.params, "ntypes", 1),
+        eam_file=getattr(sim.params, "eam_file", ""),
         xprd=sim.params.xprd,
         yprd=sim.params.yprd,
         zprd=sim.params.zprd,
     )
-    np.savez(path, x=x, v=v, meta=json.dumps(meta))
+    # atom types: both engines carry per-atom type assignments; a resume
+    # of a multi-type or EAM run must not silently lose them
+    if hasattr(state, "clusters"):
+        types = sim._types0[: sim.nlocal]
+    else:
+        types = np.asarray(state.types[: sim.nlocal])
+    np.savez(path, x=x, v=v, types=types, meta=json.dumps(meta))
 
 
 def load_checkpoint(path: str):
-    """Returns (x, v, meta). Feed x/v into Simulation(params, x=x, v=v)
-    to resume."""
+    """Returns (x, v, types, meta). Feed x/v/types into
+    Simulation(params, x=x, v=v, types=types) to resume (params must
+    re-supply eam_file per meta for EAM runs — spline tables are
+    rebuilt from the funcfl file, not serialized)."""
     d = np.load(path, allow_pickle=False)
     meta = json.loads(str(d["meta"]))
-    return d["x"], d["v"], meta
+    types = d["types"] if "types" in d.files else None
+    return d["x"], d["v"], types, meta

@@ -126,6 +126,28 @@ def build_cells(grid: CellGrid, x: jnp.ndarray) -> CellList:
     )
 
 
+def sort_atoms_device(grid: CellGrid, x, v, types, nlocal: int):
+    """Device-side spatial resort of local atoms by bin id (reference
+    sortAtom, neighbor.c:360-426, fired every resort_every steps): one
+    argsort + row gathers inside the jitted reneighbor step. Restores
+    gather locality that decays as atoms diffuse. Ghost rows and the
+    sentinel are untouched (the caller rebuilds them right after)."""
+    import jax.numpy as jnp
+
+    xl = x[:nlocal]
+    bs = grid.binsize
+    dims = grid.dims
+    bx = jnp.clip((xl[:, 0] / bs[0]).astype(jnp.int32) + 1, 0, dims[0] - 1)
+    by = jnp.clip((xl[:, 1] / bs[1]).astype(jnp.int32) + 1, 0, dims[1] - 1)
+    bz = jnp.clip((xl[:, 2] / bs[2]).astype(jnp.int32) + 1, 0, dims[2] - 1)
+    flat = (bx * dims[1] + by) * dims[2] + bz
+    perm = jnp.argsort(flat, stable=True)
+    x = x.at[:nlocal].set(xl[perm])
+    v = v.at[:nlocal].set(v[:nlocal][perm])
+    types = types.at[:nlocal].set(types[:nlocal][perm])
+    return x, v, types
+
+
 def sort_atoms_host(grid: CellGrid, x: np.ndarray):
     """Spatial sort permutation by bin id (reference sortAtom,
     neighbor.c:360-426). Host-side, used at setup; improves gather

@@ -510,3 +510,91 @@ def lj_cluster_force_xla(
     fy = jnp.sum(dy * gf, axis=2).reshape(n_clusters_pad, 8)
     fz = jnp.sum(dz * gf, axis=2).reshape(n_clusters_pad, 8)
     return fx, fy, fz
+
+
+def lj_cluster_force_xla_half(
+    xc, yc, zc, jlist, n_clusters_pad: int, group: int,
+    cutforcesq, sigma6, epsilon,
+    tc=None, tables=None,
+):
+    """Half-neighbor (Newton) cluster force — param.half_neigh analogue
+    of the reference's Simd4xN/2xnn HalfNeigh kernels
+    (src/clusterpair/force_lj.c:167-431, 613-936), with the same ghost
+    semantics as the verlet half kernel (force_lj.c:176-180): a local
+    pair (i, j) is computed once, gated by flat slot-id order; pairs with
+    a GHOST j are always computed i-side-only (the reaction force arrives
+    through the ghost owner's own list at the reciprocal image). The
+    Newton reaction forces are folded back by one row scatter-add into
+    the 16-wide j-cluster planes.
+
+    On TPU the scatter makes this SLOWER than the full kernel for the
+    default workload (full lists trade 2x flops for zero scatter —
+    SURVEY §7 risk note); it exists as the reference's config axis and is
+    measured honestly in PERF.md."""
+    ng, _, L = jlist.shape
+    gm = group * 8
+    jl = jlist.reshape(ng, L)
+    cjn = xc.shape[0] // 2
+    x16 = xc.reshape(cjn, 16)
+    y16 = yc.reshape(cjn, 16)
+    z16 = zc.reshape(cjn, 16)
+    xj = x16[jl].reshape(ng, 1, L * 16)
+    yj = y16[jl].reshape(ng, 1, L * 16)
+    zj = z16[jl].reshape(ng, 1, L * 16)
+
+    xi = xc[: n_clusters_pad].reshape(ng, gm, 1)
+    yi = yc[: n_clusters_pad].reshape(ng, gm, 1)
+    zi = zc[: n_clusters_pad].reshape(ng, gm, 1)
+
+    # flat slot ids in the shared row space: i slot k of group g ->
+    # g*gm + k; j slot l of j16 c -> c*16 + l (= row*8 + subslot)
+    gid_i = (
+        jnp.arange(ng, dtype=jnp.int32)[:, None] * gm
+        + jnp.arange(gm, dtype=jnp.int32)[None, :]
+    )[:, :, None]
+    gid_j = (
+        jl[:, :, None] * 16 + jnp.arange(16, dtype=jnp.int32)[None, None, :]
+    ).reshape(ng, 1, L * 16)
+    local_j = gid_j < n_clusters_pad * 8
+    half_mask = (~local_j) | (gid_j > gid_i)
+
+    if tables is not None:
+        eps_t, sig6_t, cutsq_t = tables
+        ti = tc[: n_clusters_pad].reshape(ng, gm, 1).astype(jnp.int32)
+        tj = tc.reshape(cjn, 16)[jl].reshape(ng, 1, L * 16).astype(jnp.int32)
+        epsilon = eps_t[ti, tj]
+        sigma6 = sig6_t[ti, tj]
+        cutforcesq = cutsq_t[ti, tj]
+
+    dx = xi - xj
+    dy = yi - yj
+    dz = zi - zj
+    rsq = dx * dx + dy * dy + dz * dz
+    mask = (rsq < cutforcesq) & (rsq > 0.0) & half_mask
+    rs = jnp.where(mask, rsq, 1.0)
+    sr2 = 1.0 / rs
+    sr6 = sr2 * sr2 * sr2 * sigma6
+    gf = jnp.where(mask, 48.0 * epsilon * sr6 * (sr6 - 0.5) * sr2, 0.0)
+
+    fx = jnp.sum(dx * gf, axis=1).reshape(ng, 1, L * 16)  # j-side sums
+    fy = jnp.sum(dy * gf, axis=1).reshape(ng, 1, L * 16)
+    fz = jnp.sum(dz * gf, axis=1).reshape(ng, 1, L * 16)
+    fxi = jnp.sum(dx * gf, axis=2).reshape(n_clusters_pad, 8)
+    fyi = jnp.sum(dy * gf, axis=2).reshape(n_clusters_pad, 8)
+    fzi = jnp.sum(dz * gf, axis=2).reshape(n_clusters_pad, 8)
+
+    # Newton reaction: scatter-add -f_j onto LOCAL j16 rows
+    keep = local_j.astype(gf.dtype)
+    rows = jl.reshape(-1)
+
+    def fold(fj, plane):
+        contrib = (-(fj * keep)).reshape(ng * L, 16)
+        f16 = jnp.zeros((cjn, 16), plane.dtype).at[rows].add(
+            contrib, mode="drop"
+        )
+        return f16.reshape(2 * cjn, 8)[:n_clusters_pad]
+
+    fxj = fold(fx, xc)
+    fyj = fold(fy, yc)
+    fzj = fold(fz, zc)
+    return fxi + fxj, fyi + fyj, fzi + fzj

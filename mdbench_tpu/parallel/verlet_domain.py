@@ -75,6 +75,43 @@ class DomainResult(NamedTuple):
     total_time: float
 
 
+def plan_capacities(params: Params, ndev: int, natoms: int) -> dict:
+    """Capacity + memory plan for a domain run (BASELINE.md multi-chip
+    row: 10M+ atoms on v5e-8). Mirrors DomainSimulation.__init__'s
+    formulas; returns per-device row capacities and a bytes/device
+    estimate so configs can be validated against HBM before launching."""
+    slab_w = params.xprd / ndev
+    per_dev = natoms / ndev
+    acap = int(math.ceil(per_dev * 1.25 / 8)) * 8 + 8
+    c = params.cutneigh
+    gfrac = (1 + 2 * c / params.yprd) * (1 + 2 * c / params.zprd) - 1.0
+    gcap = int(math.ceil(acap * gfrac * 1.6)) + 64
+    bfrac = (c / slab_w) * (1 + 2 * c / params.yprd) * (
+        1 + 2 * c / params.zprd
+    )
+    bcap = int(math.ceil(acap * bfrac * 1.8)) + 64
+    migcap = int(math.ceil(acap * 0.2)) + 32
+    vol = 4.0 / 3.0 * np.pi * c**3
+    maxneighs = max(
+        params.maxneighs, int(math.ceil(vol * params.rho * 1.3 / 8)) * 8
+    )
+    nrows = acap + gcap + 2 * bcap + 1
+    fsize = 8 if params.precision == "dp" else 4
+    bytes_per_dev = (
+        nrows * 3 * fsize  # x
+        + 2 * acap * 3 * fsize  # v, f
+        + acap * maxneighs * 4  # neighbor list
+        + acap * 4  # numneigh
+        + gcap * (4 + 3 * fsize)  # halo map + shifts
+        + 2 * bcap * 4  # border maps
+    )
+    return dict(
+        slab_w=slab_w, acap=acap, gcap=gcap, bcap=bcap, migcap=migcap,
+        maxneighs=maxneighs, nrows=nrows, bytes_per_device=bytes_per_dev,
+        slab_ok=slab_w >= params.cutneigh,
+    )
+
+
 class DomainSimulation:
     """Multi-chip LJ MD via slab decomposition + ICI halo exchange."""
 

@@ -34,6 +34,93 @@ class Stats:
         self.total_force_iters += iters * steps_live
 
 
+def compute_cluster_stats(
+    clusters,
+    pairs,
+    n_clusters_pad: int,
+    group: int,
+    cutforcesq: float,
+    cutneighsq: float,
+    chunk: int = 16,
+) -> dict:
+    """EXACT cluster-scheme counters (reference clusterpair/stats.c:
+    26-85): processed cluster pairs, real atom-pair interactions, and
+    clusters inside/outside the force cutoff — computed by one masked
+    XLA pass over the per-member tile windows (the same pairs the kernel
+    touches), chunked over groups to bound memory. Off the hot path:
+    called once per report from the final state."""
+    import jax
+    import jax.numpy as jnp
+
+    ng, _, L = pairs.jlist.shape
+    xc, yc, zc = clusters.xc, clusters.yc, clusters.zc
+    cjn = xc.shape[0] // 2
+    x16 = xc.reshape(cjn, 16)
+    y16 = yc.reshape(cjn, 16)
+    z16 = zc.reshape(cjn, 16)
+    jl_all = pairs.jlist.reshape(ng, L)
+    rg_all = pairs.ranges.reshape(ng, 2 * group + 1)
+    gm = group * 8
+
+    def chunk_fn(g0):
+        gs = g0 + jnp.arange(chunk, dtype=jnp.int32)
+        real_g = (gs < ng)[:, None, None]
+        gsafe = jnp.where(gs < ng, gs, 0)
+        jl = jl_all[gsafe]  # (chunk, L)
+        rg = rg_all[gsafe]
+        xj = x16[jl].reshape(chunk, 1, L * 16)
+        yj = y16[jl].reshape(chunk, 1, L * 16)
+        zj = z16[jl].reshape(chunk, 1, L * 16)
+        base = gsafe * gm
+        rows = base[:, None] + jnp.arange(gm, dtype=jnp.int32)[None, :]
+        xi = xc[: n_clusters_pad].reshape(-1)[rows][:, :, None]
+        yi = yc[: n_clusters_pad].reshape(-1)[rows][:, :, None]
+        zi = zc[: n_clusters_pad].reshape(-1)[rows][:, :, None]
+        dxs = xi - xj
+        dys = yi - yj
+        dzs = zi - zj
+        rsq = dxs * dxs + dys * dys + dzs * dzs
+        # window mask: lane l -> tile l // 128; row r -> member r // 8
+        tile_of_lane = (jnp.arange(L * 16, dtype=jnp.int32) // 128)[None, None, :]
+        midx = jnp.arange(gm, dtype=jnp.int32) // 8
+        start = jnp.take(rg[:, :group], midx, axis=1)[:, :, None]
+        end = jnp.take(rg[:, group : 2 * group], midx, axis=1)[:, :, None]
+        inwin = (tile_of_lane >= start) & (tile_of_lane < end) & real_g
+        nonself = rsq > 0.0
+        in_force = inwin & nonself & (rsq < cutforcesq)
+        in_neigh = inwin & nonself & (rsq < cutneighsq)
+        pairs_f = jnp.sum(in_force)
+        pairs_n = jnp.sum(in_neigh)
+        # cluster (ic, j16) granularity: any atom pair within cutforce
+        cf = in_force.reshape(chunk, group, 8, L, 16)
+        cl_any = jnp.any(jnp.any(cf, axis=4), axis=2)  # (chunk, group, L)
+        tile16 = (jnp.arange(L, dtype=jnp.int32) // 8)[None, None, :]
+        inwin16 = (
+            (tile16 >= rg[:, :group, None])
+            & (tile16 < rg[:, group : 2 * group, None])
+            & real_g
+        )
+        cl_in = jnp.sum(cl_any & inwin16)
+        cl_proc = jnp.sum(inwin16)
+        return pairs_f, pairs_n, cl_in, cl_proc
+
+    ngpad = (ng + chunk - 1) // chunk * chunk
+    starts = jnp.arange(0, ngpad, chunk, dtype=jnp.int32)
+    pf, pn, ci, cp = jax.lax.map(jax.jit(chunk_fn), starts)
+    rg = np.asarray(pairs.ranges)[:, 0, :]
+    tiles = int(
+        np.maximum(rg[:, group : 2 * group] - rg[:, :group], 0).sum()
+    )
+    return dict(
+        pairs_within_cutforce=int(np.asarray(pf.sum())),
+        pairs_within_cutneigh=int(np.asarray(pn.sum())),
+        clusters_within_cutoff=int(np.asarray(ci.sum())),
+        clusters_processed=int(np.asarray(cp.sum())),
+        tiles=tiles,
+        padded_pairs=tiles * 1024,
+    )
+
+
 def display_statistics(
     stats: Stats,
     nlocal: int,

@@ -146,9 +146,150 @@ def run_stub(
     return result
 
 
+def create_stub_clusters(n_clusters: int, group: int = 16):
+    """Synthetic cluster planes (cluster-scheme stub, reference
+    clusterpair/main-stub.c:61-120): 8-atom clusters at tiny coordinate
+    increments so every pair interacts; padded to a multiple of
+    8*group rows plus the sentinel pair."""
+    blk = 8 * group
+    n_pad = (n_clusters + blk - 1) // blk * blk
+    rows = n_pad + 2  # even total; last pair = all-sentinel
+    idx = np.arange(n_pad * 8, dtype=np.float64).reshape(n_pad, 8)
+    xc = np.full((rows, 8), 1e30)
+    yc = np.full((rows, 8), 1e30)
+    zc = np.full((rows, 8), 1e30)
+    xc[:n_pad] = idx * 1e-5
+    yc[:n_pad] = idx * 1e-5
+    zc[:n_pad] = idx * 1e-5
+    return xc, yc, zc, n_pad
+
+
+def create_cluster_pair_list(
+    n_pad: int, group: int, nneighs_j16: int, pattern: str, seed: int = 42
+):
+    """Synthetic per-group shared j16 lists with seq/fix/rand patterns
+    (reference cluster stub createNeighbors, main-stub.c:61-120) and
+    full per-member tile windows (imask = ALL)."""
+    ng = n_pad // group
+    n16 = n_pad // 2
+    L = (nneighs_j16 + 7) // 8 * 8
+    sentinel16 = (n_pad + 2) // 2 - 1
+    jl = np.full((ng, 1, L), sentinel16, np.int32)
+    rng = np.random.default_rng(seed)
+    for g in range(ng):
+        if pattern == "seq":
+            row = (g * (group // 2) + 1 + np.arange(nneighs_j16)) % n16
+        elif pattern == "fix":
+            row = np.arange(nneighs_j16) % n16
+        elif pattern == "rand":
+            row = rng.choice(n16, size=nneighs_j16, replace=False)
+        else:
+            raise ValueError(f"unknown pattern {pattern}")
+        jl[g, 0, :nneighs_j16] = row
+    ntiles = L // 8
+    ranges = np.zeros((ng, 1, 2 * group + 1), np.int32)
+    ranges[:, 0, group : 2 * group] = (nneighs_j16 + 7) // 8
+    ranges[:, 0, 2 * group] = (nneighs_j16 + 7) // 8
+    nj = np.full(ng, nneighs_j16, np.int32)
+    del ntiles
+    return jl, ranges, nj
+
+
+def run_cluster_stub(
+    natoms: int = 65536,
+    nneighs: int = 76,  # j16 clusters per group list
+    nreps: int = 1,
+    pattern: str = "seq",
+    ntimes: int = 200,
+    proc_freq: float = 2.4,
+    csv: bool = False,
+    precision: str = "sp",
+) -> dict:
+    """Cluster-scheme kernel microbenchmark (reference
+    clusterpair/main-stub.c): synthetic cluster planes + synthetic
+    group-shared j16 lists, force kernel only."""
+    import jax
+    import jax.numpy as jnp
+
+    from mdbench_tpu.ops.pallas.lj_cluster import (
+        lj_cluster_force_pallas_stream,
+        lj_cluster_force_xla,
+    )
+
+    group = 16
+    dtype = jnp.float64 if precision == "dp" else jnp.float32
+    n_clusters = (natoms + 7) // 8
+    xch, ych, zch, n_pad = create_stub_clusters(n_clusters, group)
+    jlh, rgh, _nj = create_cluster_pair_list(
+        n_pad, group, nneighs * nreps, pattern
+    )
+    xc = jnp.asarray(xch, dtype)
+    yc = jnp.asarray(ych, dtype)
+    zc = jnp.asarray(zch, dtype)
+    jl = jnp.asarray(jlh)
+    rg = jnp.asarray(rgh)
+    cutsq = 1.0e6**2
+    on_cpu = jax.devices()[0].platform == "cpu"
+
+    def force(xc):
+        if on_cpu:
+            return lj_cluster_force_xla(
+                xc, yc, zc, jl, n_pad, group, cutsq, 1.0, 1.0
+            )
+        return lj_cluster_force_pallas_stream(
+            xc, yc, zc, jl, rg, n_pad, group, cutsq, 1.0, 1.0
+        )
+
+    @jax.jit
+    def loop(xc):
+        def body(xc, _):
+            fx, _fy, _fz = force(xc)
+            return xc.at[:n_pad].add(1e-30 * fx), ()
+
+        xc, _ = jax.lax.scan(body, xc, None, length=ntimes)
+        return xc
+
+    r = loop(xc)
+    _ = float(r[0, 0])
+    t0 = time.perf_counter()
+    r = loop(xc)
+    _ = float(r[0, 0])
+    total = time.perf_counter() - t0
+
+    freq_hz = proc_freq * 1e9
+    upd_per_s = natoms / total * ntimes
+    cy_atom = total / natoms / ntimes * freq_hz
+    cy_neigh = cy_atom / max(nneighs * nreps, 1)
+    result = dict(
+        scheme="cluster", pattern=pattern, natoms=natoms,
+        nneighs=nneighs, nreps=nreps, ntimes=ntimes, total=total,
+        mega_updates=upd_per_s / 1e6, cycles_per_atom=cy_atom,
+        cycles_per_neighbor=cy_neigh,
+    )
+    if csv:
+        print("steps,pattern,natoms,nneighs,nreps,time(s),atom upds/s(M),"
+              "cy/atom,cy/neigh")
+        print(
+            "%d,%s,%d,%d,%d,%.4f,%.4f,%.4f,%.4f"
+            % (ntimes, pattern, natoms, nneighs, nreps, total,
+               upd_per_s / 1e6, cy_atom, cy_neigh)
+        )
+    else:
+        print(
+            "Total time: %.4f, Mega atom updates/s: %.4f"
+            % (total, upd_per_s / 1e6)
+        )
+        print(
+            "Cycles per atom: %.4f, Cycles per neighbor: %.4f"
+            % (cy_atom, cy_neigh)
+        )
+    return result
+
+
 def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     kw = {}
+    scheme = "verlet"
     i = 0
     while i < len(argv):
         a = argv[i]
@@ -158,7 +299,9 @@ def main(argv=None) -> int:
             i += 1
             return argv[i]
 
-        if a == "-na":
+        if a == "--scheme":
+            scheme = nxt()
+        elif a == "-na":
             kw["natoms"] = int(nxt())
         elif a == "-nn":
             kw["nneighs"] = int(nxt())
@@ -177,7 +320,11 @@ def main(argv=None) -> int:
         elif a == "--precision":
             kw["precision"] = nxt()
         i += 1
-    run_stub(**kw)
+    if scheme == "cluster":
+        kw.pop("half", None)  # half lists: verlet-stub axis only
+        run_cluster_stub(**kw)
+    else:
+        run_stub(**kw)
     return 0
 
 

@@ -39,6 +39,40 @@ def profile(logdir: str):
         jax.profiler.stop_trace()
 
 
+def dump_mem_trace(path_prefix: str, neighbors, numneigh, step: int,
+                   nlocal: int | None = None, float_size: int = 4) -> str:
+    """MEM_TRACER-equivalent address-stream dump (reference
+    tracing.h:24-45): every array element the force kernel touches, one
+    record per line, as byte addresses in the framework's planar SoA
+    layout (x plane base 0, f plane follows; neighbor-row int32 stream
+    last). Consumed by cache simulators exactly like the reference's
+    mem_tracer_<step>.out. Host-side, off the hot path."""
+    nb = np.asarray(neighbors)
+    nn = np.asarray(numneigh)
+    n = nb.shape[0] if nlocal is None else nlocal
+    nrows = nb.shape[0]
+    x_base = 0
+    f_base = nrows * 3 * float_size
+    nl_base = 2 * nrows * 3 * float_size
+    path = f"{path_prefix}mem_tracer_{step}.out"
+    with open(path, "w") as fp:
+        for i in range(n):
+            k = int(nn[i])
+            # force row read-modify-write + own position read
+            fp.write(f"R: {x_base + i * 3 * float_size} {3 * float_size}\n")
+            for c in range(k):
+                fp.write(
+                    "R: %d 4\n" % (nl_base + (i * nb.shape[1] + c) * 4)
+                )
+                j = int(nb[i, c])
+                fp.write(
+                    "R: %d %d\n" % (x_base + j * 3 * float_size,
+                                    3 * float_size)
+                )
+            fp.write(f"W: {f_base + i * 3 * float_size} {3 * float_size}\n")
+    return path
+
+
 def dump_index_trace(path_prefix: str, neighbors, numneigh, step: int,
                      vector_width: int = 8) -> str:
     """INDEX_TRACER-style dump (reference tracing.h:47-123): per atom the

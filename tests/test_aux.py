@@ -40,12 +40,12 @@ def test_checkpoint_roundtrip(tmp_path):
     out = sim.run()
     path = str(tmp_path / "ck.npz")
     save_checkpoint(path, sim, out.state, step=10)
-    x, v, meta = load_checkpoint(path)
+    x, v, types, meta = load_checkpoint(path)
     assert meta["step"] == 10
     assert x.shape == (sim.natoms, 3)
-    # resume: new sim continues from the checkpoint
-    sim2 = Simulation(p, x=x, v=v, types=np.zeros(len(x), np.int32),
-                      adjust=False)
+    assert types is not None and types.shape == (sim.natoms,)
+    # resume: new sim continues from the checkpoint incl. type assignments
+    sim2 = Simulation(p, x=x, v=v, types=types, adjust=False)
     out2 = sim2.run(ntimes=5)
     assert np.isfinite(out2.temps).all()
     # continuity: first post-resume temperature close to last pre-save

@@ -120,6 +120,70 @@ def test_cluster_prune_pass_preserves_trajectory():
     np.testing.assert_allclose(out_prune.temps, out_v.temps, rtol=1e-8)
 
 
+def test_cluster_half_neigh_matches_full():
+    """Newton half-pair cluster kernel (param.half_neigh axis, reference
+    clusterpair/force_lj.c HalfNeigh kernels): first forces and a short
+    trajectory must match the full-pair kernel."""
+    p_full = Params(nx=4, ny=4, nz=4, kernel="xla", half_neigh=0)
+    p_half = Params(nx=4, ny=4, nz=4, kernel="xla", half_neigh=1)
+    f_full = ClusterSimulation(p_full).first_force_atoms()
+    f_half = ClusterSimulation(p_half).first_force_atoms()
+    np.testing.assert_allclose(f_half, f_full, rtol=1e-9, atol=1e-10)
+
+    pf = Params(nx=3, ny=3, nz=3, ntimes=10, reneigh_every=5,
+                kernel="xla", half_neigh=0)
+    ph = Params(nx=3, ny=3, nz=3, ntimes=10, reneigh_every=5,
+                kernel="xla", half_neigh=1)
+    out_f = ClusterSimulation(pf).run()
+    out_h = ClusterSimulation(ph).run()
+    np.testing.assert_allclose(out_h.temps, out_f.temps, rtol=1e-9)
+
+
+def test_cluster_half_neigh_multitype():
+    """Half-pair axis composes with EXPLICIT_TYPES."""
+    p = Params(nx=3, ny=3, nz=3, ntypes=2, kernel="xla")
+    x, v, _ = create_fcc_lattice(p)
+    rng = np.random.RandomState(3)
+    types = rng.randint(0, 2, x.shape[0]).astype(np.int32)
+    eps = np.array([[1.0, 0.8], [0.8, 1.2]])
+    sig6 = np.array([[1.0, 0.9], [0.9, 1.1]]) ** 6
+    cutsq = np.full((2, 2), p.cutforce**2)
+    f_full = ClusterSimulation(
+        p, x=x, v=v, types=types, tables=(eps, sig6, cutsq)
+    ).first_force_atoms()
+    ph = Params(nx=3, ny=3, nz=3, ntypes=2, kernel="xla", half_neigh=1)
+    f_half = ClusterSimulation(
+        ph, x=x, v=v, types=types, tables=(eps, sig6, cutsq)
+    ).first_force_atoms()
+    np.testing.assert_allclose(f_half, f_full, rtol=1e-9, atol=1e-10)
+
+
+def test_cluster_stats_exact_pair_count():
+    """compute_cluster_stats counts exactly the pairs the kernel windows
+    touch — cross-checked against a dense periodic pair count
+    (reference clusterpair/stats.c counters)."""
+    from mdbench_tpu.engine_cluster import GROUP
+    from mdbench_tpu.ops.dense import _pairwise_min_image
+    from mdbench_tpu.stats import compute_cluster_stats
+
+    p = Params(nx=4, ny=4, nz=4, kernel="xla")
+    sim = ClusterSimulation(p)
+    st = sim.initial_state()
+    cs = compute_cluster_stats(
+        st.clusters, st.pairs, sim.n_clusters_pad, GROUP,
+        p.cutforce**2, p.cutneigh**2,
+    )
+    x = jnp.asarray(sim._x0)
+    d = _pairwise_min_image(x, sim.prd)
+    rsq = np.asarray((d * d).sum(-1))
+    n = x.shape[0]
+    m = (rsq < p.cutforce**2) & ~np.eye(n, dtype=bool)
+    assert cs["pairs_within_cutforce"] == int(m.sum())
+    mn = (rsq < p.cutneigh**2) & ~np.eye(n, dtype=bool)
+    assert cs["pairs_within_cutneigh"] == int(mn.sum())
+    assert cs["clusters_within_cutoff"] <= cs["clusters_processed"]
+
+
 def test_cluster_capacity_overflow_recovers():
     """Force a tiny list capacity; engine must grow and still be right."""
     p = Params(nx=3, ny=3, nz=3, ntimes=5, reneigh_every=5, kernel="xla")

@@ -92,6 +92,47 @@ def test_domain_engine_matches_single_device():
     )
 
 
+def test_capacity_plan_10m_atoms_v5e8():
+    """BASELINE.md multi-chip row: the 10M-atom config must PLAN within
+    v5e HBM (16 GB/chip) on an 8-chip mesh. (Execution at that scale
+    needs real chips; correctness of the engine is covered by the
+    parity tests above and the scaled smoke below.)"""
+    from mdbench_tpu.parallel.verlet_domain import plan_capacities
+
+    # 10.1M atoms: 4 * 136 * 136 * 136 FCC cells
+    p = Params(nx=136, ny=136, nz=136, precision="sp")
+    natoms = 4 * p.nx * p.ny * p.nz
+    assert natoms >= 10_000_000
+    plan = plan_capacities(p, 8, natoms)
+    assert plan["slab_ok"]
+    assert plan["bytes_per_device"] < 16 * 1024**3 * 0.5, plan
+    # and leave room for XLA scratch: under 4 GB is comfortable
+    assert plan["bytes_per_device"] < 4 * 1024**3, plan
+
+
+def test_domain_engine_quarter_million_smoke():
+    """Scaled-down BASELINE multi-chip exercise on the CPU mesh: 262k
+    atoms over 8 slabs, a few steps across one rebuild, atom
+    conservation + finite thermo. (The 10M-atom run itself is gated on
+    real hardware; set MDBENCH_BIG=1 to run it here.)"""
+    import os
+
+    from mdbench_tpu.parallel.verlet_domain import DomainSimulation
+
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough devices")
+    if os.environ.get("MDBENCH_BIG"):
+        p = Params(nx=136, ny=136, nz=136, ntimes=2, reneigh_every=2,
+                   precision="sp")
+    else:
+        p = Params(nx=128, ny=16, nz=32, ntimes=4, reneigh_every=2,
+                   precision="sp")
+    dom = DomainSimulation(p, ndev=8)
+    out = dom.run()
+    assert np.isfinite(out.temps).all()
+    assert int(np.asarray(out.state.nlocal).sum()) == dom.natoms
+
+
 def test_domain_engine_8dev():
     from mdbench_tpu.parallel.verlet_domain import DomainSimulation
 

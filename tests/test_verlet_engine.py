@@ -88,13 +88,47 @@ def test_short_run_matches_dense_trajectory():
     np.testing.assert_allclose(xe, np.asarray(x), rtol=1e-8, atol=1e-8)
 
 
+def test_resort_every_preserves_trajectory():
+    """Spatial resort (reference sortAtom every resort_every steps,
+    neighbor.c:360-426) only permutes atom order — the trajectory must
+    match the unsorted run to FP-summation-order noise."""
+    base = dict(nx=4, ny=4, nz=4, ntimes=40, reneigh_every=10)
+    out_plain = Simulation(Params(**base, resort_every=0)).run()
+    out_sort = Simulation(Params(**base, resort_every=20)).run()
+    np.testing.assert_allclose(out_sort.temps, out_plain.temps, rtol=1e-6)
+
+
 def test_reneighbor_preserves_energy_150_steps():
-    """Longer run: energy drift stays tiny in DP; several reneighbors."""
+    """Longer run: TOTAL energy (KE + LJ potential) drift over 150 DP
+    steps and several reneighbors stays within the velocity-Verlet
+    O(dt^2) fluctuation band — the actual conservation check the
+    reference leaves to its printed thermo trace (SURVEY §4)."""
+    from mdbench_tpu.ops.lj import lj_energy_virial
+
     p = Params(nx=4, ny=4, nz=4, ntimes=150)
     sim = Simulation(p)
+
+    def total_energy(state):
+        ke = 0.5 * p.mass * float(
+            np.sum(np.asarray(state.v[: sim.nlocal]) ** 2)
+        )
+        pe, _ = lj_energy_virial(
+            state.x, state.nlist.neighbors, state.nlist.numneigh,
+            sim.caps.nlocal_pad, sim.cutforcesq, p.sigma6, p.epsilon,
+        )
+        return ke + float(pe)
+
+    e0 = total_energy(sim.initial_state())
     out = sim.run()
+    e1 = total_energy(out.state)
     t = out.temps
-    # LJ liquid equilibrating from lattice: temperature falls then hovers;
-    # no NaN, no blowup
     assert np.isfinite(t).all()
     assert t.max() < 10 * p.temp
+    # relative drift bound: |E(150) - E(0)| / |E(0)|. The dominant term
+    # is NOT the integrator but the reference's bare-truncation LJ
+    # (no energy shift at the cutoff): pairs crossing r_c jump the
+    # potential discontinuously, ~1.6e-3 over 150 hot steps. The bound
+    # catches integrator/force bugs (wrong dtforce, misapplied Newton
+    # pairs blow past this by orders of magnitude); exact force
+    # correctness is pinned separately by the C-reference golden test.
+    assert abs(e1 - e0) / abs(e0) < 5e-3, (e0, e1)

@@ -133,6 +133,28 @@ def test_domain_engine_quarter_million_smoke():
     assert int(np.asarray(out.state.nlocal).sum()) == dom.natoms
 
 
+@pytest.mark.parametrize("px,py", [(2, 2), (4, 2)])
+def test_domain2d_matches_single_device(px, py):
+    """2-D pencil decomposition (staged x/y halo exchange incl. corner
+    coverage) vs the single-chip engine: trajectory parity over several
+    rebuild intervals on the virtual CPU mesh."""
+    from mdbench_tpu.engine import Simulation
+    from mdbench_tpu.parallel.verlet_domain2d import Domain2DSimulation
+
+    if len(jax.devices()) < px * py:
+        pytest.skip("not enough devices")
+    mk = lambda: Params(nx=10, ny=10, nz=4, ntimes=20, reneigh_every=10)
+    p = mk()
+    if p.xprd / px < p.cutneigh or p.yprd / py < p.cutneigh:
+        pytest.skip("pencil under cutoff")
+    dom = Domain2DSimulation(mk(), px=px, py=py)
+    out = dom.run()
+    assert int(out.nlocal.sum()) == dom.natoms
+    out_s = Simulation(mk()).run()
+    np.testing.assert_allclose(out.temps, out_s.temps, rtol=1e-8,
+                               atol=1e-12)
+
+
 def test_domain_engine_8dev():
     from mdbench_tpu.parallel.verlet_domain import DomainSimulation
 

@@ -51,8 +51,15 @@ def compute_force_eam(
     nlocal_pad: int,
     cutforcesq: float,
     eam: EamDevice,
+    fp_exchange=None,
 ):
-    """Returns (forces (nlocal_pad, 3), fp (nrows,))."""
+    """Returns (forces (nlocal_pad, 3), fp (nrows,)).
+
+    fp_exchange(fp) -> fp: fills GHOST rows of the embedding-derivative
+    array between the two passes. Default = the single-chip border_map
+    gather (force_eam.c:117-120); the multi-chip domain engine passes a
+    closure that additionally ppermutes boundary fp values over the
+    device mesh (the cross-chip analogue of the same copy)."""
     k = neighbors.shape[1]
     lane = jnp.arange(k, dtype=jnp.int32)[None, :]
     valid = lane < numneigh[:, None]
@@ -81,8 +88,11 @@ def compute_force_eam(
     nrows = x.shape[0]
     fp = jnp.zeros((nrows,), x.dtype)
     fp = fp.at[:nlocal_pad].set(fp_local)
-    gcap = border_map.shape[0]
-    fp = fp.at[nlocal_pad : nlocal_pad + gcap].set(fp[border_map])
+    if fp_exchange is None:
+        gcap = border_map.shape[0]
+        fp = fp.at[nlocal_pad : nlocal_pad + gcap].set(fp[border_map])
+    else:
+        fp = fp_exchange(fp)
 
     # pass 2: pair forces (force_eam.c:122-227)
     rsp = eam.rhor[m]

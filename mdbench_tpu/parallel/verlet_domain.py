@@ -48,7 +48,7 @@ from mdbench_tpu.ops.lj import compute_force_lj_full
 from mdbench_tpu.ops.pbc import setup_pbc, update_pbc
 from mdbench_tpu.ops.verlet import build_neighbors
 from mdbench_tpu.state import SENTINEL_COORD
-from mdbench_tpu.thermo import adjust_thermo, setup_thermo
+from mdbench_tpu.thermo import adjust_thermo, adjusted_dtforce, setup_thermo
 
 AXIS = "x"
 
@@ -118,8 +118,29 @@ class DomainSimulation:
     def __init__(self, params: Params, ndev: int,
                  x: Optional[np.ndarray] = None,
                  v: Optional[np.ndarray] = None):
-        assert params.force_field == 0, "domain engine is LJ-only for now"
         self.params = params
+        self.eam_dev = None
+        if params.force_field != 0:  # FF_EAM
+            # EAM overrides params BEFORE lattice generation (main.c:38)
+            from mdbench_tpu.models.eam_tables import (
+                apply_eam_overrides,
+                load_eam,
+            )
+            from mdbench_tpu.ops.eam import EamDevice
+
+            if not params.eam_file:
+                raise ValueError("force_field=eam requires eam_file")
+            t = load_eam(params.eam_file)
+            apply_eam_overrides(params, t)
+            dtype = params.dtype
+            import jax.numpy as _jnp
+
+            self.eam_dev = EamDevice(
+                rhor=_jnp.asarray(t.rhor_spline, dtype),
+                frho=_jnp.asarray(t.frho_spline, dtype),
+                z2r=_jnp.asarray(t.z2r_spline, dtype),
+                rdr=t.rdr, rdrho=t.rdrho, nr=t.nr, nrho=t.nrho,
+            )
         self.ndev = ndev
         self.slab_w = params.xprd / ndev
         assert self.slab_w >= params.cutneigh, (
@@ -130,6 +151,7 @@ class DomainSimulation:
             x, v, _ = create_fcc_lattice(params)
         self.natoms = x.shape[0]
         self.scales = setup_thermo(params, self.natoms)
+        self.dtforce = adjusted_dtforce(params, self.scales)
         v = adjust_thermo(params, self.scales, v, self.natoms)
 
         per_dev = self.natoms / ndev
@@ -341,18 +363,45 @@ class DomainSimulation:
         )
         return x, v, nloc, halo, bmap_l, bmap_r, nlist, ovf
 
-    def _force_dev(self, x, nlist):
+    def _force_dev(self, x, nlist, halo, bmap_l, bmap_r):
         p = self.params
-        return compute_force_lj_full(
-            x, nlist.neighbors, nlist.numneigh, self.acap,
-            p.cutforce**2, p.sigma6, p.epsilon,
+        if self.eam_dev is None:
+            return compute_force_lj_full(
+                x, nlist.neighbors, nlist.numneigh, self.acap,
+                p.cutforce**2, p.sigma6, p.epsilon,
+            )
+        from mdbench_tpu.ops.eam import compute_force_eam
+
+        acap, gcap, bcap = self.acap, self.gcap, self.bcap
+        ndev = self.ndev
+
+        def fp_exchange(fp):
+            # local y/z ghost fp from owners, then x-border fp over ICI
+            # (the multi-chip force_eam.c:117-120)
+            fp = fp.at[acap : acap + gcap].set(fp[halo.border_map])
+            send_l = fp[bmap_l]
+            send_r = fp[bmap_r]
+            perm_r = [(i, (i + 1) % ndev) for i in range(ndev)]
+            perm_l = [(i, (i - 1) % ndev) for i in range(ndev)]
+            from_right = jax.lax.ppermute(send_l, AXIS, perm_l)
+            from_left = jax.lax.ppermute(send_r, AXIS, perm_r)
+            g0 = acap + gcap
+            fp = fp.at[g0 : g0 + bcap].set(from_left)
+            fp = fp.at[g0 + bcap : g0 + 2 * bcap].set(from_right)
+            return fp
+
+        f, _fp = compute_force_eam(
+            x, nlist.neighbors, nlist.numneigh, halo.border_map,
+            acap, acap, p.cutforce**2, self.eam_dev,
+            fp_exchange=fp_exchange,
         )
+        return f
 
     # ---- the sharded run ---------------------------------------------------
 
     def _make_run_fn(self, ntimes: int):
         p = self.params
-        dt, dtf = p.dt, p.dtforce
+        dt, dtf = p.dt, self.dtforce
         every = p.reneigh_every
         n_int = max(ntimes // every, 1)
         mass, scales = p.mass, self.scales
@@ -391,7 +440,7 @@ class DomainSimulation:
                 x, v = integrate1(x, v, f, nloc)
                 x = update_pbc(x, halo, acap)
                 x = self._exchange_borders(x, bl, br)
-                f = self._force_dev(x, nlist)
+                f = self._force_dev(x, nlist, halo, bl, br)
                 live = (rows < nloc)[:, None]
                 v = jnp.where(live, v + dtf * f, v)
                 t = thermo(v, nloc)
@@ -403,7 +452,7 @@ class DomainSimulation:
                 x, v, nloc, halo, bl, br, nlist, ovf2 = (
                     self._reneighbor_dev(x, v, nloc)
                 )
-                f = self._force_dev(x, nlist)
+                f = self._force_dev(x, nlist, halo, bl, br)
                 live = (rows < nloc)[:, None]
                 v = jnp.where(live, v + dtf * f, v)
                 t = thermo(v, nloc)
@@ -420,7 +469,7 @@ class DomainSimulation:
             x, v, nloc, halo, bl, br, nlist, ovf0 = (
                 self._reneighbor_dev(x, v, nloc)
             )
-            f = self._force_dev(x, nlist)
+            f = self._force_dev(x, nlist, halo, bl, br)
             carry = (x, v, f, nloc, halo, bl, br, nlist, ovf | ovf0)
             carry, temps = jax.lax.scan(interval, carry, None, length=n_int)
             x, v, f, nloc, halo, bl, br, nlist, ovf = carry

@@ -92,6 +92,29 @@ def test_domain_engine_matches_single_device():
     )
 
 
+def test_domain_engine_eam_matches_single_device():
+    """EAM in the domain engine: the two-pass force with the ghost-fp
+    dependency needs a mid-force fp ppermute over the mesh (cross-chip
+    force_eam.c:117-120). Trajectory parity vs the single-chip EAM
+    engine across rebuilds."""
+    from mdbench_tpu.config import FF_EAM
+    from mdbench_tpu.engine import Simulation
+    from mdbench_tpu.parallel.verlet_domain import DomainSimulation
+
+    ndev = 2
+    if len(jax.devices()) < ndev:
+        pytest.skip("not enough devices")
+    mk = lambda: Params(
+        nx=6, ny=6, nz=6, ntimes=10, reneigh_every=5,
+        force_field=FF_EAM, eam_file="/root/reference/data/Cu_u3.eam",
+    )
+    out_s = Simulation(mk()).run()
+    dom = DomainSimulation(mk(), ndev=ndev)
+    out_d = dom.run()
+    assert int(np.asarray(out_d.state.nlocal).sum()) == dom.natoms
+    np.testing.assert_allclose(out_d.temps, out_s.temps, rtol=1e-8)
+
+
 def test_capacity_plan_10m_atoms_v5e8():
     """BASELINE.md multi-chip row: the 10M-atom config must PLAN within
     v5e HBM (16 GB/chip) on an 8-chip mesh. (Execution at that scale

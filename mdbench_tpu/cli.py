@@ -233,6 +233,17 @@ def main(argv=None) -> int:
             max(out.total_time - force_total - neigh_total, 0.0),
         )
     )
+    # FORCE/NEIGH here are out-of-band per-call estimates x call counts
+    # (the whole run is ONE fused program — in-loop section timers would
+    # break the scan; reference measures in-loop, main.c:250-287).
+    # Cross-check against the real TOTAL and say so when they disagree.
+    est = force_total + neigh_total
+    if est > out.total_time * 1.15:
+        print(
+            "(note: FORCE+NEIGH estimates exceed TOTAL by %.0f%% — the "
+            "fused run overlaps phases the estimates time separately)"
+            % (100.0 * (est / out.total_time - 1.0))
+        )
     sys.stdout.write(HLINE)
     print(
         "Performance: %.2f million atom updates per second"

@@ -1,0 +1,482 @@
+"""Multi-chip domain decomposition for the CLUSTER-PAIR scheme.
+
+Completes the scheme x parallelism matrix: the flagship GROMACS-MxN
+engine (engine_cluster.py) scaled over a device mesh the same way
+verlet_domain.py scales the verlet scheme — 1-D x-slabs, everything
+inside `shard_map`, cross-chip traffic = `lax.ppermute` only.
+
+Per-device phases (each device owns [0, slab_w) x yprd x zprd in a
+slab-local frame):
+
+  reneighbor:  flatten clusters -> atom state (inverse-map gather) ->
+               wrap y/z -> MIGRATE atoms over x faces (ppermute) ->
+               re-chop into clusters on the slab grid -> LOCAL y/z
+               cluster ghosts (setup_cluster_pbc with pbc=(0,1,1)) ->
+               export j16 cluster PAIRS whose bbox is within cutneigh of
+               an x face (locals + y/z ghosts, so corners ride along) ->
+               ppermute row planes -> received rows become x-ghost
+               clusters -> bin + group pair lists (ops/cluster machinery
+               unchanged, slab-box grid)
+  every step:  integrate local planes -> refresh local y/z ghost planes
+               -> re-gather exported j16 rows, ppermute, refresh x-ghost
+               rows -> cluster force kernel (Pallas on TPU, XLA oracle
+               on CPU) -> integrate
+
+The reference has no multi-node path at all (SURVEY §2.5); this is the
+TPU-native design the serial ghost machinery implies
+(clusterpair/pbc.c:144-299 at j-cluster granularity, generalized so a
+"boundary image" can live on another chip)."""
+
+from __future__ import annotations
+
+import math
+import time
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from mdbench_tpu.config import Params
+from mdbench_tpu.models.lattice import create_fcc_lattice
+from mdbench_tpu.ops.cluster import (
+    bin_clusters,
+    build_cluster_pairs,
+    build_clusters,
+    make_cluster_grid,
+    make_j16_bboxes,
+    setup_cluster_pbc,
+    update_cluster_pbc,
+)
+from mdbench_tpu.ops.pallas.lj_cluster import (
+    lj_cluster_force_pallas_stream,
+    lj_cluster_force_xla,
+)
+from mdbench_tpu.state import SENTINEL_COORD
+from mdbench_tpu.thermo import adjust_thermo, adjusted_dtforce, setup_thermo
+
+AXIS = "x"
+GROUP = 16
+
+
+class ClusterDomainResult(NamedTuple):
+    temps: np.ndarray
+    nlocal: np.ndarray
+    overflow: np.ndarray
+    total_time: float
+
+
+class ClusterDomainSimulation:
+    """Cluster-scheme MD over x-slabs + ICI halo exchange."""
+
+    def __init__(self, params: Params, ndev: int,
+                 x: Optional[np.ndarray] = None,
+                 v: Optional[np.ndarray] = None):
+        assert params.force_field == 0, (
+            "cluster scheme is LJ (reference clusterpair EAM is a stub)"
+        )
+        self.params = params
+        self.ndev = ndev
+        self.slab_w = params.xprd / ndev
+        c = params.cutneigh
+        assert self.slab_w >= c, "slab narrower than cutneigh"
+        if x is None:
+            x, v, _ = create_fcc_lattice(params)
+        self.natoms = x.shape[0]
+        self.scales = setup_thermo(params, self.natoms)
+        self.dtforce = adjusted_dtforce(params, self.scales)
+        v = adjust_thermo(params, self.scales, v, self.natoms)
+
+        self.slab_prd = np.array([self.slab_w, params.yprd, params.zprd])
+        self.grid = make_cluster_grid(
+            self.slab_prd, c, params.rho, GROUP
+        )
+
+        # capacities (per device)
+        per_dev = self.natoms / ndev
+        sx, sy = self.grid.col_size
+        ncx, ncy = self.grid.col_dims
+        mean_col = per_dev / (ncx * ncy)
+        cl_per_col = math.ceil(math.ceil(mean_col * 1.35 / 8.0) / GROUP) * GROUP
+        blk = 8 * GROUP
+        self.ncl_pad = max(
+            (int(ncx * ncy * cl_per_col) + blk - 1) // blk * blk, blk
+        )
+        self.acap = int(math.ceil(per_dev * 1.3 / 8)) * 8 + 8
+        # local y/z ghost cluster rows
+        gfrac = (1 + 2 * c / params.yprd) * (1 + 2 * c / params.zprd) - 1.0
+        self.gcap_rows = (
+            int(math.ceil(self.ncl_pad * gfrac * 1.8)) + 64 + 1
+        ) // 2 * 2
+        # x-face export: j16 pairs within c of a face, over locals+ghosts
+        xfrac = (c + 2 * sx) / self.slab_w  # + bbox slop margin
+        self.xcap16 = int(
+            math.ceil((self.ncl_pad + self.gcap_rows) / 2 * xfrac * 1.8)
+        ) + 32
+        self.migcap = int(math.ceil(self.acap * 0.2)) + 32
+        # per-group j-list capacity (same shape as engine_cluster)
+        zspan = GROUP * 8 / (sx * sy * params.rho)
+        vol = (
+            (sx + 2 * c + sx) * (sy + 2 * c + sy) * (zspan + 2 * c + 2.0)
+        )
+        self.list_cap = max(
+            32, int(math.ceil(vol * params.rho / 16.0 * 1.45 / 8.0)) * 8
+        )
+        # total plane rows: locals + y/z ghosts + 2 x-ghost blocks + 2 sent
+        self.nrows_cl = (
+            self.ncl_pad + self.gcap_rows + 4 * self.xcap16 + 2
+        )
+        self.mesh = Mesh(np.array(jax.devices()[:ndev]), (AXIS,))
+        self._init_host_state(x, v)
+
+    def _init_host_state(self, x, v):
+        dtype = self.params.dtype
+        slab = np.minimum(
+            (x[:, 0] / self.slab_w).astype(np.int64), self.ndev - 1
+        )
+        xs = np.full((self.ndev, self.acap + 1, 3), SENTINEL_COORD,
+                     np.float64)
+        vs = np.zeros((self.ndev, self.acap, 3), np.float64)
+        counts = np.zeros(self.ndev, np.int32)
+        for d in range(self.ndev):
+            idx = np.nonzero(slab == d)[0]
+            n = len(idx)
+            assert n <= self.acap, "initial slab overflow"
+            xs[d, :n] = x[idx] - np.array([d * self.slab_w, 0.0, 0.0])
+            vs[d, :n] = v[idx]
+            counts[d] = n
+        self.x0 = jnp.asarray(xs, dtype)
+        self.v0 = jnp.asarray(vs, dtype)
+        self.n0 = jnp.asarray(counts)
+        self.interpret = jax.devices()[0].platform == "cpu"
+
+    # ---- per-device phases (inside shard_map) ------------------------------
+
+    def _wrap_yz(self, x, nloc):
+        p = self.params
+        rows = jnp.arange(x.shape[0])[:, None]
+        live = rows < nloc
+        for d, prd in ((1, p.yprd), (2, p.zprd)):
+            cc = x[:, d]
+            cc = jnp.where(live[:, 0] & (cc < 0), cc + prd, cc)
+            cc = jnp.where(live[:, 0] & (cc >= prd), cc - prd, cc)
+            x = x.at[:, d].set(cc)
+        return x
+
+    def _migrate(self, x, v, nloc):
+        """Atom migration over x faces (same protocol as
+        verlet_domain._migrate)."""
+        acap, migcap = self.acap, self.migcap
+        dtype = x.dtype
+        rows = jnp.arange(acap, dtype=jnp.int32)
+        live = rows < nloc
+        xl = x[:acap]
+        go_l = live & (xl[:, 0] < 0.0)
+        go_r = live & (xl[:, 0] >= self.slab_w)
+        ovf_drift = jnp.any(
+            live & ((xl[:, 0] < -self.slab_w)
+                    | (xl[:, 0] >= 2 * self.slab_w))
+        )
+        stay = live & ~go_l & ~go_r
+
+        def pack(mask, dx_shift):
+            pos = jnp.cumsum(mask) - 1
+            cnt = jnp.sum(mask).astype(jnp.int32)
+            pos = jnp.where(mask & (pos < migcap), pos, migcap)
+            buf = jnp.full((migcap, 6), SENTINEL_COORD, dtype)
+            payload = jnp.concatenate(
+                [xl + jnp.asarray([dx_shift, 0, 0], dtype), v[:acap]],
+                axis=1,
+            )
+            return buf.at[pos].set(payload, mode="drop"), cnt
+
+        buf_l, cnt_l = pack(go_l, +self.slab_w)
+        buf_r, cnt_r = pack(go_r, -self.slab_w)
+        ovf = (cnt_l > migcap) | (cnt_r > migcap) | ovf_drift
+
+        nd = self.ndev
+        perm_r = [(i, (i + 1) % nd) for i in range(nd)]
+        perm_l = [(i, (i - 1) % nd) for i in range(nd)]
+        recv_from_right = jax.lax.ppermute(buf_l, AXIS, perm_l)
+        recv_from_left = jax.lax.ppermute(buf_r, AXIS, perm_r)
+
+        pos = jnp.cumsum(stay) - 1
+        n_stay = jnp.sum(stay).astype(jnp.int32)
+        pos = jnp.where(stay, pos, acap)
+        x2 = jnp.full((acap + 1, 3), SENTINEL_COORD, dtype)
+        v2 = jnp.zeros((acap, 3), dtype)
+        x2 = x2.at[pos].set(xl, mode="drop")
+        v2 = v2.at[pos].set(v[:acap], mode="drop")
+
+        def append(x2, v2, n, buf):
+            valid = jnp.abs(buf[:, 0]) < SENTINEL_COORD * 0.5
+            pos = jnp.cumsum(valid) - 1 + n
+            cnt = jnp.sum(valid).astype(jnp.int32)
+            pos = jnp.where(valid & (pos < acap), pos, acap)
+            x2 = x2.at[pos].set(buf[:, 0:3], mode="drop")
+            v2 = v2.at[pos].set(buf[:, 3:6], mode="drop")
+            return x2, v2, n + cnt
+
+        x2, v2, n2 = append(x2, v2, n_stay, recv_from_left)
+        x2, v2, n2 = append(x2, v2, n2, recv_from_right)
+        return x2, v2, n2, ovf | (n2 > acap)
+
+    def _export_maps(self, bbox):
+        """j16 ids (over locals + y/z ghosts) whose bbox is within
+        cutneigh of an x face."""
+        c = self.params.cutneigh
+        n16scan = (self.ncl_pad + self.gcap_rows) // 2
+        bb16 = make_j16_bboxes(bbox[: self.ncl_pad + self.gcap_rows])
+        live = bb16[:, 0] < SENTINEL_COORD * 0.25
+        exp_l = live & (bb16[:, 0] < c)
+        exp_r = live & (bb16[:, 1] >= self.slab_w - c)
+        ids = jnp.arange(n16scan, dtype=jnp.int32)
+        sent16 = self.nrows_cl // 2 - 1
+
+        def pack(mask):
+            pos = jnp.cumsum(mask) - 1
+            cnt = jnp.sum(mask).astype(jnp.int32)
+            pos = jnp.where(mask & (pos < self.xcap16), pos, self.xcap16)
+            m = jnp.full((self.xcap16,), sent16, jnp.int32)
+            return m.at[pos].set(ids, mode="drop"), cnt
+
+        ml, cl = pack(exp_l)
+        mr, cr = pack(exp_r)
+        return ml, mr, (cl > self.xcap16) | (cr > self.xcap16)
+
+    def _exchange_rows(self, planes, map_l, map_r, with_bbox):
+        """Gather exported j16 row pairs, shift x, ppermute, write the
+        x-ghost blocks. planes = Clusters pytree."""
+        dtype = planes.xc.dtype
+        nd = self.ndev
+        row_map_l = (2 * map_l[:, None]
+                     + jnp.arange(2, dtype=jnp.int32)[None, :]).reshape(-1)
+        row_map_r = (2 * map_r[:, None]
+                     + jnp.arange(2, dtype=jnp.int32)[None, :]).reshape(-1)
+
+        def payload(row_map, xshift):
+            parts = [
+                planes.xc[row_map] + xshift,
+                planes.yc[row_map],
+                planes.zc[row_map],
+                planes.tc[row_map],
+            ]
+            if with_bbox:
+                bb = planes.bbox[row_map]
+                bb = bb.at[:, 0:2].add(xshift)
+                parts.append(bb)
+            return jnp.concatenate(parts, axis=1)  # (rows, 32 or 40)
+
+        send_l = payload(row_map_l, jnp.asarray(self.slab_w, dtype))
+        send_r = payload(row_map_r, jnp.asarray(-self.slab_w, dtype))
+        perm_r = [(i, (i + 1) % nd) for i in range(nd)]
+        perm_l = [(i, (i - 1) % nd) for i in range(nd)]
+        from_right = jax.lax.ppermute(send_l, AXIS, perm_l)
+        from_left = jax.lax.ppermute(send_r, AXIS, perm_r)
+
+        g0 = self.ncl_pad + self.gcap_rows
+        nxr = 2 * self.xcap16
+
+        def write(planes, rec, base):
+            xc = planes.xc.at[base : base + nxr].set(rec[:, 0:8])
+            yc = planes.yc.at[base : base + nxr].set(rec[:, 8:16])
+            zc = planes.zc.at[base : base + nxr].set(rec[:, 16:24])
+            tc = planes.tc.at[base : base + nxr].set(rec[:, 24:32])
+            if with_bbox:
+                bbox = planes.bbox.at[base : base + nxr].set(rec[:, 32:40])
+            else:
+                bbox = planes.bbox
+            return planes._replace(xc=xc, yc=yc, zc=zc, tc=tc, bbox=bbox)
+
+        planes = write(planes, from_left, g0)
+        planes = write(planes, from_right, g0 + nxr)
+        return planes
+
+    def _reneighbor_dev(self, x_flat, v_flat, nloc):
+        p = self.params
+        x_flat = self._wrap_yz(x_flat, nloc)
+        x_flat, v_flat, nloc, ovf_m = self._migrate(x_flat, v_flat, nloc)
+        # re-chop into clusters; ghost capacity = y/z ghosts + x blocks
+        ghost_rows = self.gcap_rows + 4 * self.xcap16
+        clusters, ovf_c = build_clusters(
+            self.grid, x_flat, self.acap, self.ncl_pad, ghost_rows,
+            group=GROUP,
+        )
+        aid = clusters.atom_id
+        valid = aid >= 0
+        a = jnp.clip(aid, 0, self.acap - 1)
+        zeros = jnp.zeros_like(clusters.xc[: self.ncl_pad])
+        vxc = jnp.where(valid, v_flat[a, 0], zeros)
+        vyc = jnp.where(valid, v_flat[a, 1], zeros)
+        vzc = jnp.where(valid, v_flat[a, 2], zeros)
+
+        # local y/z cluster ghosts on the slab box
+        halo = setup_cluster_pbc(
+            clusters, self.ncl_pad, self.ncl_pad, self.gcap_rows,
+            self.slab_prd, (0, p.pbc_y, p.pbc_z), p.cutneigh,
+        )
+        clusters = update_cluster_pbc(
+            clusters, halo, self.ncl_pad, update_bbox=True
+        )
+        # x-face exports + cross-chip ghost rows (bboxes ride along)
+        map_l, map_r, ovf_x = self._export_maps(clusters.bbox)
+        clusters = self._exchange_rows(clusters, map_l, map_r, True)
+
+        bbox16 = make_j16_bboxes(clusters.bbox)
+        cells, bb_cells, (ovf_b, ovf_z) = bin_clusters(self.grid, bbox16)
+        pairs = build_cluster_pairs(
+            self.grid, cells, bb_cells, clusters.bbox, self.ncl_pad,
+            GROUP, self.list_cap,
+        )
+        ovf = jnp.stack([
+            ovf_m, ovf_c, halo.overflow, ovf_x, ovf_b, ovf_z,
+            pairs.overflow[0], pairs.overflow[1],
+        ])
+        # nloc comes from migration: build_clusters treats the whole
+        # acap window as "local" (sentinel padding rows become inert
+        # sentinel cluster slots), so atom_id cannot be used to count
+        return clusters, (vxc, vyc, vzc), halo, (map_l, map_r), pairs, nloc, ovf
+
+    def _flatten_dev(self, clusters, vxc, vyc, vzc):
+        inv = clusters.inv_map
+        dtype = clusters.xc.dtype
+
+        def gath(px, py, pz):
+            out = jnp.full((self.acap + 1, 3), SENTINEL_COORD, dtype)
+            vals = jnp.stack(
+                [px[: self.ncl_pad].reshape(-1)[inv],
+                 py[: self.ncl_pad].reshape(-1)[inv],
+                 pz[: self.ncl_pad].reshape(-1)[inv]],
+                axis=1,
+            )
+            return out.at[: self.acap].set(vals)
+
+        x_flat = gath(clusters.xc, clusters.yc, clusters.zc)
+        v_flat = gath(vxc, vyc, vzc)[: self.acap]
+        return x_flat, v_flat
+
+    def _force_dev(self, clusters, pairs):
+        p = self.params
+        cutsq = p.cutforce**2
+        on_cpu = self.interpret
+        if p.kernel != "xla" and not on_cpu:
+            return lj_cluster_force_pallas_stream(
+                clusters.xc, clusters.yc, clusters.zc, pairs.jlist,
+                pairs.ranges, self.ncl_pad, GROUP, cutsq, p.sigma6,
+                p.epsilon,
+            )
+        return lj_cluster_force_xla(
+            clusters.xc, clusters.yc, clusters.zc, pairs.jlist,
+            self.ncl_pad, GROUP, cutsq, p.sigma6, p.epsilon,
+        )
+
+    # ---- the sharded run ---------------------------------------------------
+
+    def _make_run_fn(self, ntimes: int):
+        p = self.params
+        dt, dtf = p.dt, self.dtforce
+        every = p.reneigh_every
+        n_int = max(ntimes // every, 1)
+        mass, scales = p.mass, self.scales
+
+        def dev_body(x, v, nloc):
+            x, v, nloc = x[0], v[0], nloc[0]
+
+            def thermo(vxc, vyc, vzc):
+                vsq = (
+                    jnp.sum(vxc * vxc) + jnp.sum(vyc * vyc)
+                    + jnp.sum(vzc * vzc)
+                ) * mass
+                return jax.lax.psum(vsq, AXIS) * scales.t_scale
+
+            def plain_step(carry, _):
+                cl, vxc, vyc, vzc, fxc, fyc, fzc, nloc, halo, maps, pairs, ovf = carry
+                vxc = vxc + dtf * fxc
+                vyc = vyc + dtf * fyc
+                vzc = vzc + dtf * fzc
+                xc = cl.xc.at[: self.ncl_pad].add(dt * vxc)
+                yc = cl.yc.at[: self.ncl_pad].add(dt * vyc)
+                zc = cl.zc.at[: self.ncl_pad].add(dt * vzc)
+                cl = cl._replace(xc=xc, yc=yc, zc=zc)
+                cl = update_cluster_pbc(cl, halo, self.ncl_pad, False)
+                cl = self._exchange_rows(cl, maps[0], maps[1], False)
+                fxc, fyc, fzc = self._force_dev(cl, pairs)
+                vxc = vxc + dtf * fxc
+                vyc = vyc + dtf * fyc
+                vzc = vzc + dtf * fzc
+                t = thermo(vxc, vyc, vzc)
+                return (
+                    cl, vxc, vyc, vzc, fxc, fyc, fzc, nloc, halo, maps,
+                    pairs, ovf,
+                ), t
+
+            def reneigh_step(carry):
+                cl, vxc, vyc, vzc, fxc, fyc, fzc, nloc, halo, maps, pairs, ovf = carry
+                vxc = vxc + dtf * fxc
+                vyc = vyc + dtf * fyc
+                vzc = vzc + dtf * fzc
+                xc = cl.xc.at[: self.ncl_pad].add(dt * vxc)
+                yc = cl.yc.at[: self.ncl_pad].add(dt * vyc)
+                zc = cl.zc.at[: self.ncl_pad].add(dt * vzc)
+                cl = cl._replace(xc=xc, yc=yc, zc=zc)
+                x_flat, v_flat = self._flatten_dev(cl, vxc, vyc, vzc)
+                cl, (vxc, vyc, vzc), halo, maps, pairs, nloc, ovf2 = (
+                    self._reneighbor_dev(x_flat, v_flat, nloc)
+                )
+                fxc, fyc, fzc = self._force_dev(cl, pairs)
+                vxc = vxc + dtf * fxc
+                vyc = vyc + dtf * fyc
+                vzc = vzc + dtf * fzc
+                t = thermo(vxc, vyc, vzc)
+                return (
+                    cl, vxc, vyc, vzc, fxc, fyc, fzc, nloc, halo, maps,
+                    pairs, jnp.any(ovf) | jnp.any(ovf2),
+                ), t
+
+            def interval(carry, _):
+                carry, ts = jax.lax.scan(
+                    plain_step, carry, None, length=every - 1
+                )
+                carry, t_last = reneigh_step(carry)
+                return carry, jnp.concatenate([ts, t_last[None]])
+
+            cl, (vxc, vyc, vzc), halo, maps, pairs, nloc, ovf0 = (
+                self._reneighbor_dev(x, v, nloc)
+            )
+            fxc, fyc, fzc = self._force_dev(cl, pairs)
+            carry = (
+                cl, vxc, vyc, vzc, fxc, fyc, fzc, nloc, halo, maps,
+                pairs, jnp.any(ovf0),
+            )
+            carry, temps = jax.lax.scan(interval, carry, None, length=n_int)
+            return (
+                carry[7][None],  # nloc
+                carry[11][None],  # overflow
+                temps.reshape(1, -1),
+            )
+
+        spec = P(AXIS)
+        sharded = jax.shard_map(
+            dev_body, mesh=self.mesh,
+            in_specs=(spec, spec, spec),
+            out_specs=(spec, spec, spec),
+        )
+        return jax.jit(sharded)
+
+    def run(self, ntimes: Optional[int] = None) -> ClusterDomainResult:
+        p = self.params
+        ntimes = p.ntimes if ntimes is None else ntimes
+        run_fn = self._make_run_fn(ntimes)
+        t0 = time.perf_counter()
+        nloc, ovf, temps = run_fn(self.x0, self.v0, self.n0)
+        _fence = float(jnp.ravel(temps)[0])
+        total = time.perf_counter() - t0
+        nloc = np.asarray(nloc)
+        ovf = np.asarray(ovf)
+        if ovf.any():
+            raise RuntimeError("cluster-domain capacity overflow")
+        return ClusterDomainResult(
+            temps=np.asarray(temps[0]).reshape(-1), nlocal=nloc,
+            overflow=ovf, total_time=total,
+        )

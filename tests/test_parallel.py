@@ -115,6 +115,29 @@ def test_domain_engine_eam_matches_single_device():
     np.testing.assert_allclose(out_d.temps, out_s.temps, rtol=1e-8)
 
 
+def test_cluster_domain_matches_single_device():
+    """Cluster scheme over the device mesh (parallel/cluster_domain):
+    trajectory parity vs the single-chip cluster engine across rebuild
+    intervals, including j16-granular cross-chip ghosts and atom
+    migration."""
+    from mdbench_tpu.engine_cluster import ClusterSimulation
+    from mdbench_tpu.parallel.cluster_domain import ClusterDomainSimulation
+
+    ndev = 4
+    if len(jax.devices()) < ndev:
+        pytest.skip("not enough devices")
+    mk = lambda: Params(nx=16, ny=4, nz=4, ntimes=20, reneigh_every=10,
+                        kernel="xla")
+    p = mk()
+    if p.xprd / ndev < p.cutneigh:
+        pytest.skip("slab under cutoff")
+    dom = ClusterDomainSimulation(mk(), ndev=ndev)
+    out = dom.run()
+    assert int(out.nlocal.sum()) == dom.natoms
+    out_s = ClusterSimulation(mk()).run()
+    np.testing.assert_allclose(out.temps, out_s.temps, rtol=1e-8)
+
+
 def test_capacity_plan_10m_atoms_v5e8():
     """BASELINE.md multi-chip row: the 10M-atom config must PLAN within
     v5e HBM (16 GB/chip) on an 8-chip mesh. (Execution at that scale

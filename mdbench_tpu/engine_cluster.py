@@ -469,15 +469,36 @@ class ClusterSimulation:
 
         return jax.jit(run, donate_argnums=(0,))
 
+    def _calibrate_list_cap(self, state0) -> bool:
+        """Shrink the per-group j-list capacity to the observed maximum
+        (+25% drift headroom). The volume-based initial estimate is
+        conservative; every padded tail entry costs a gathered row in
+        the per-step repack (repack_jtiles), so a tight capacity cuts
+        the gather ~proportionally. Returns True if shrunk (caller
+        rebuilds the state; later growth is handled by the normal
+        overflow-retry)."""
+        njg = np.asarray(state0.pairs.ranges)[:, 0, 2 * GROUP]
+        need = int(njg.max()) * 8
+        tight = max((int(need * 1.25) + 7) // 8 * 8, 32)
+        if tight < self.list_cap:
+            self.list_cap = tight
+            return True
+        return False
+
     def run(self, ntimes: Optional[int] = None, max_retries: int = 5) -> CRunResult:
         p = self.params
         ntimes = p.ntimes if ntimes is None else ntimes
+        calibrated = False
         for _ in range(max_retries + 1):
             state0 = self.initial_state()
             jax.block_until_ready(state0)
             if bool(np.any(np.asarray(state0.overflow))):
                 self._grow(np.asarray(state0.overflow))
                 continue
+            if not calibrated:
+                calibrated = True
+                if self._calibrate_list_cap(state0):
+                    continue
             run_fn = self._make_run_fn(ntimes)
             compiled = run_fn.lower(state0).compile()
             # un-timed warm-up execution: the first call after AOT compile

@@ -59,6 +59,82 @@ def _load():
         return _lib
 
 
+_W_SRC = os.path.join(os.path.dirname(_SRC), "fast_writers.cpp")
+_W_SO = os.path.join(os.path.dirname(_SRC), "libfastwrite.so")
+_wlib = None
+_wtried = False
+
+
+def _load_writers():
+    global _wlib, _wtried
+    with _lock:
+        if _wtried:
+            return _wlib
+        _wtried = True
+        try:
+            if not os.path.exists(_W_SO) or (
+                os.path.getmtime(_W_SO) < os.path.getmtime(_W_SRC)
+            ):
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", "-o", _W_SO, _W_SRC],
+                    check=True, capture_output=True, timeout=120,
+                )
+            lib = ctypes.CDLL(_W_SO)
+            lib.write_atoms_vtk.restype = ctypes.c_int
+            lib.write_atoms_vtk.argtypes = [
+                ctypes.c_char_p,
+                np.ctypeslib.ndpointer(np.float64, flags="C"),
+                ctypes.c_long,
+            ]
+            ii = np.ctypeslib.ndpointer(np.int32, flags="C")
+            lib.write_index_trace.restype = ctypes.c_int
+            lib.write_index_trace.argtypes = [
+                ctypes.c_char_p, ii, ii,
+                ctypes.c_long, ctypes.c_long, ctypes.c_long,
+            ]
+            lib.write_mem_trace.restype = ctypes.c_int
+            lib.write_mem_trace.argtypes = [
+                ctypes.c_char_p, ii, ii,
+                ctypes.c_long, ctypes.c_long, ctypes.c_long, ctypes.c_long,
+            ]
+            _wlib = lib
+        except Exception:
+            _wlib = None
+        return _wlib
+
+
+def write_atoms_vtk(path: str, x: np.ndarray) -> bool:
+    """Native VTK atom dump; returns False -> caller uses Python path."""
+    lib = _load_writers()
+    if lib is None:
+        return False
+    xc = np.ascontiguousarray(x, np.float64)
+    return lib.write_atoms_vtk(path.encode(), xc.reshape(-1), len(xc)) == 0
+
+
+def write_index_trace(path: str, neighbors, numneigh, vw: int) -> bool:
+    lib = _load_writers()
+    if lib is None:
+        return False
+    nb = np.ascontiguousarray(neighbors, np.int32)
+    nn = np.ascontiguousarray(numneigh, np.int32)
+    return lib.write_index_trace(
+        path.encode(), nb, nn, nb.shape[0], nb.shape[1], vw
+    ) == 0
+
+
+def write_mem_trace(path: str, neighbors, numneigh, nlocal: int,
+                    nrows: int, float_size: int) -> bool:
+    lib = _load_writers()
+    if lib is None:
+        return False
+    nb = np.ascontiguousarray(neighbors, np.int32)
+    nn = np.ascontiguousarray(numneigh, np.int32)
+    return lib.write_mem_trace(
+        path.encode(), nb, nn, nlocal, nb.shape[1], nrows, float_size
+    ) == 0
+
+
 def available() -> bool:
     return _load() is not None
 

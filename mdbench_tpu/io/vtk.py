@@ -12,6 +12,12 @@ import numpy as np
 def write_atoms_to_vtk_file(filename: str, x: np.ndarray, timestep: int) -> str:
     n = x.shape[0]
     path = f"{filename}_{timestep}.vtk"
+    # native fast path (byte-identical output; the Python loop costs
+    # seconds per frame at the 131k benchmark size)
+    from mdbench_tpu.io import native
+
+    if native.write_atoms_vtk(path, np.asarray(x, np.float64)):
+        return path
     with open(path, "w") as fp:
         fp.write("# vtk DataFile Version 2.0\n")
         fp.write("Particle data\n")

@@ -55,6 +55,10 @@ def dump_mem_trace(path_prefix: str, neighbors, numneigh, step: int,
     f_base = nrows * 3 * float_size
     nl_base = 2 * nrows * 3 * float_size
     path = f"{path_prefix}mem_tracer_{step}.out"
+    from mdbench_tpu.io import native
+
+    if native.write_mem_trace(path, nb, nn, n, nrows, float_size):
+        return path
     with open(path, "w") as fp:
         for i in range(n):
             k = int(nn[i])
@@ -81,6 +85,10 @@ def dump_index_trace(path_prefix: str, neighbors, numneigh, step: int,
     path = f"{path_prefix}index_tracer_{step}.out"
     nb = np.asarray(neighbors)
     nn = np.asarray(numneigh)
+    from mdbench_tpu.io import native
+
+    if native.write_index_trace(path, nb, nn, vector_width):
+        return path
     with open(path, "w") as fp:
         for i in range(nb.shape[0]):
             k = int(nn[i])

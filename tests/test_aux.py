@@ -52,6 +52,40 @@ def test_checkpoint_roundtrip(tmp_path):
     assert abs(out2.temps[0] - out.temps[-1]) < 0.2
 
 
+def test_native_writers_byte_identical(tmp_path, monkeypatch):
+    """The C++ fast writers (native/fast_writers.cpp) must produce
+    byte-identical VTK / tracer files to the pure-Python fallbacks."""
+    from mdbench_tpu.io import native
+    from mdbench_tpu.io.vtk import write_atoms_to_vtk_file
+    from mdbench_tpu.tracing import dump_index_trace, dump_mem_trace
+
+    if native._load_writers() is None:
+        import pytest
+
+        pytest.skip("no native toolchain")
+    rng = np.random.RandomState(0)
+    x = rng.rand(37, 3) * 10
+    nb = rng.randint(0, 40, (37, 12)).astype(np.int32)
+    nn = rng.randint(0, 13, 37).astype(np.int32)
+
+    p_native = write_atoms_to_vtk_file(str(tmp_path / "n"), x, 0)
+    i_native = dump_index_trace(str(tmp_path / "n_"), nb, nn, 0)
+    m_native = dump_mem_trace(str(tmp_path / "n_"), nb, nn, 1,
+                              nlocal=37, float_size=4)
+
+    # force the Python fallbacks
+    monkeypatch.setattr(native, "write_atoms_vtk", lambda *a: False)
+    monkeypatch.setattr(native, "write_index_trace", lambda *a: False)
+    monkeypatch.setattr(native, "write_mem_trace", lambda *a: False)
+    p_py = write_atoms_to_vtk_file(str(tmp_path / "p"), x, 0)
+    i_py = dump_index_trace(str(tmp_path / "p_"), nb, nn, 0)
+    m_py = dump_mem_trace(str(tmp_path / "p_"), nb, nn, 1,
+                          nlocal=37, float_size=4)
+
+    for a, b in ((p_native, p_py), (i_native, i_py), (m_native, m_py)):
+        assert open(a, "rb").read() == open(b, "rb").read(), (a, b)
+
+
 def test_index_trace_dump(tmp_path):
     p = Params(nx=3, ny=3, nz=3)
     sim = Simulation(p)

@@ -120,6 +120,15 @@ def main(argv=None) -> int:
         import jax
 
         jax.config.update("jax_enable_x64", True)
+        if jax.devices()[0].platform != "cpu":
+            # f64 is emulated on TPU and, on the tunneled axon backend,
+            # silently produces wrong numerics — DP is the CPU parity
+            # axis (SURVEY §7 risk list); SP is the TPU benchmark axis
+            sys.stderr.write(
+                "WARNING: precision=dp on a TPU backend: f64 is "
+                "emulated/unreliable on TPU; DP runs are intended for "
+                "CPU parity (use --precision sp on TPU)\n"
+            )
 
     if params.scheme == "cluster":
         from mdbench_tpu.engine_cluster import ClusterSimulation as Engine

@@ -77,7 +77,7 @@ def _use_pallas(params: Params) -> bool:
     if params.kernel == "xla":
         return False
     on_cpu = jax.devices()[0].platform == "cpu"
-    if params.kernel in ("pallas", "pallas_ds"):
+    if params.kernel in ("pallas", "pallas_ds", "pallas_mxu"):
         return True
     return not on_cpu  # auto
 
@@ -298,6 +298,16 @@ class ClusterSimulation:
             # (single-type only)
             if p.kernel == "pallas_ds" and not typed:
                 return lj_cluster_force_pallas(
+                    clusters.xc, clusters.yc, clusters.zc, pairs.jlist,
+                    pairs.ranges, self.n_clusters_pad, GROUP, cutsq,
+                    p.sigma6, p.epsilon, interpret=self.interpret,
+                )
+            if p.kernel == "pallas_mxu" and not typed:
+                from mdbench_tpu.ops.pallas.lj_cluster import (
+                    lj_cluster_force_pallas_mxu,
+                )
+
+                return lj_cluster_force_pallas_mxu(
                     clusters.xc, clusters.yc, clusters.zc, pairs.jlist,
                     pairs.ranges, self.n_clusters_pad, GROUP, cutsq,
                     p.sigma6, p.epsilon, interpret=self.interpret,

@@ -342,6 +342,147 @@ def _kernel_stream(
     )[0]
 
 
+def _kernel_stream_mxu(
+    rg_ref, xj_ref, yj_ref, zj_ref, xi_ref, yi_ref, zi_ref,
+    fx_ref, fy_ref, fz_ref,
+    bmat, acc,
+    *, nslab: int, cutforcesq: float, sigma6: float, epsilon: float,
+    approx_rcp: bool,
+):
+    """MXU-offload variant (PERF.md queue item d): per tile, the force
+    reduction runs as ONE lane-contracting dot gf(8,128) @ [Xj | 1] ->
+    (8,4) [sum gf*xj, sum gf*yj, sum gf*zj, sum gf], replacing the three
+    (8,128) fma accumulators and the final lane reduction:
+
+        f_i = xi * sum_j gf - sum_j gf * xj   (per component)
+
+    The distance math stays on the VPU (an MXU cross-term would need
+    f32 matmuls where bf16 loses the cancellation in |xi - xj|^2).
+    Output layout: (NG, 8, 128) with lane = member i-cluster (16 of 128
+    lanes used) — per-ic (8,1) columns store at static lane offsets, and
+    the XLA wrapper transposes back; the sublane->lane relayout that the
+    accumulator layout of the base kernel needs is avoided entirely."""
+    njg = rg_ref[0, 0, 2 * GROUP]
+
+    acc[:] = jnp.zeros_like(acc)  # (GROUP*8, 128): rows = ic*8+s, lanes 0:4
+
+    xis = [xi_ref[ic, :].reshape(8, 1) for ic in range(GROUP)]
+    yis = [yi_ref[ic, :].reshape(8, 1) for ic in range(GROUP)]
+    zis = [zi_ref[ic, :].reshape(8, 1) for ic in range(GROUP)]
+    starts = [rg_ref[0, 0, ic] for ic in range(GROUP)]
+    ends = [rg_ref[0, 0, GROUP + ic] for ic in range(GROUP)]
+    dn = (((1,), (1,)), ((), ()))  # contract lane dims: (8,128)x(4,128)->(8,4)
+
+    for s in range(nslab):
+        @pl.when(s < njg)
+        def _(s=s):
+            xj = xj_ref[0, s : s + 1, :]
+            yj = yj_ref[0, s : s + 1, :]
+            zj = zj_ref[0, s : s + 1, :]
+            bmat[0:1, :] = xj
+            bmat[1:2, :] = yj
+            bmat[2:3, :] = zj
+            bmat[3:4, :] = jnp.ones_like(xj)
+            B = bmat[0:4, :]
+            for ic in range(GROUP):
+                active = (s >= starts[ic]) & (s < ends[ic])
+
+                @pl.when(active)
+                def _(ic=ic):
+                    dx = xis[ic] - xj
+                    dy = yis[ic] - yj
+                    dz = zis[ic] - zj
+                    rsq = dx * dx + dy * dy + dz * dz
+                    mask = (rsq < cutforcesq) & (rsq > 0.0)
+                    rs = jnp.where(mask, rsq, 1.0)
+                    if approx_rcp:
+                        sr2 = pl.reciprocal(rs, approx=True)
+                    else:
+                        sr2 = 1.0 / rs
+                    sr6 = sr2 * sr2 * sr2 * sigma6
+                    gf = jnp.where(
+                        mask, 48.0 * epsilon * sr6 * (sr6 - 0.5) * sr2, 0.0
+                    )
+                    r0 = ic * 8
+                    acc[r0 : r0 + 8, 0:4] += jax.lax.dot_general(
+                        gf, B, dn, preferred_element_type=gf.dtype
+                    )
+
+    g = pl.program_id(0)
+    del g
+    for ic in range(GROUP):
+        r0 = ic * 8
+        p = acc[r0 : r0 + 8, 0:4]
+        gsum = p[:, 3:4]
+        fx_ref[0, 0:8, ic : ic + 1] = xis[ic] * gsum - p[:, 0:1]
+        fy_ref[0, 0:8, ic : ic + 1] = yis[ic] * gsum - p[:, 1:2]
+        fz_ref[0, 0:8, ic : ic + 1] = zis[ic] * gsum - p[:, 2:3]
+
+
+def lj_cluster_force_pallas_mxu(
+    xc, yc, zc, jlist, ranges,
+    n_clusters_pad: int, group: int,
+    cutforcesq: float, sigma6: float, epsilon: float,
+    interpret: bool = False, approx_rcp: bool = False,
+):
+    """MXU-reduction streaming kernel (A/B twin of
+    lj_cluster_force_pallas_stream, single-type)."""
+    ng, _, L = jlist.shape
+    assert group == GROUP and L % TILE_J_STREAM == 0
+    assert ng * group == n_clusters_pad
+    nslab = L // TILE_J_STREAM
+    rdim = ranges.shape[2]
+    dtype = xc.dtype
+    xj, yj, zj = repack_jtiles(xc, yc, zc, jlist)
+
+    kern = functools.partial(
+        _kernel_stream_mxu, nslab=nslab,
+        cutforcesq=float(cutforcesq), sigma6=float(sigma6),
+        epsilon=float(epsilon), approx_rcp=bool(approx_rcp),
+    )
+    jt_block = pl.BlockSpec(
+        (1, nslab, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
+    )
+    xi_block = pl.BlockSpec(
+        (GROUP, 8), lambda g: (g, 0), memory_space=pltpu.VMEM
+    )
+    out_block = pl.BlockSpec(
+        (1, 8, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(ng,),
+        in_specs=[
+            pl.BlockSpec((1, 1, rdim), lambda g: (g, 0, 0),
+                         memory_space=pltpu.SMEM),
+            jt_block, jt_block, jt_block,
+            xi_block, xi_block, xi_block,
+        ],
+        out_specs=[out_block, out_block, out_block],
+        out_shape=[
+            jax.ShapeDtypeStruct((ng, 8, 128), dtype),
+            jax.ShapeDtypeStruct((ng, 8, 128), dtype),
+            jax.ShapeDtypeStruct((ng, 8, 128), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((8, 128), dtype),
+            pltpu.VMEM((GROUP * 8, 128), dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(ranges, xj, yj, zj, xc, yc, zc)
+
+    def unpack(a):
+        # (NG, 8 atoms, 16 ic lanes) -> (NG, 16, 8) -> (n_clusters_pad, 8)
+        return a[:, :, :GROUP].transpose(0, 2, 1).reshape(
+            n_clusters_pad, 8
+        )
+
+    return unpack(out[0]), unpack(out[1]), unpack(out[2])
+
+
 def repack_jtiles(xc, yc, zc, jlist, tc=None):
     """Per-step XLA repack: gather each group's j16-cluster coordinate
     rows into dense planar slab tiles (NG, S, 128) — slab s carries

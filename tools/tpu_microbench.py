@@ -96,8 +96,17 @@ def kernel_ab(quick=False):
 
         return f
 
+    from mdbench_tpu.ops.pallas.lj_cluster import (
+        lj_cluster_force_pallas_mxu,
+    )
+
     stream = mk(
         lj_cluster_force_pallas_stream, ranges=pairs.ranges,
+        n_clusters_pad=npad, group=GROUP, cutforcesq=cutsq,
+        sigma6=p.sigma6, epsilon=p.epsilon,
+    )
+    mxu = mk(
+        lj_cluster_force_pallas_mxu, ranges=pairs.ranges,
         n_clusters_pad=npad, group=GROUP, cutforcesq=cutsq,
         sigma6=p.sigma6, epsilon=p.epsilon,
     )
@@ -116,6 +125,11 @@ def kernel_ab(quick=False):
         return repack_jtiles(xc, cl.yc, cl.zc, pairs.jlist)
 
     print("FORCE stream : %.3f ms" % (timeit(stream, cl.xc) * 1e3))
+    try:
+        print("FORCE mxu    : %.3f ms" % (timeit(mxu, cl.xc) * 1e3))
+    except Exception as e:  # Mosaic may reject a layout; report, go on
+        print("FORCE mxu    : FAILED %s: %s" % (type(e).__name__,
+                                                str(e)[:300]))
     print("FORCE ds(r1) : %.3f ms" % (timeit(ds, cl.xc) * 1e3))
     print("REPACK gather: %.3f ms" % (timeit(repack_only, cl.xc) * 1e3))
     if not quick:

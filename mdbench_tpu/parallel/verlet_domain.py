@@ -173,9 +173,16 @@ class DomainSimulation:
         self.nrows = self.acap + self.gcap + 2 * self.bcap + 1
 
         # slab-local cell grid (same static geometry on every device)
+        # bin capacity: 2.5x the mean — FCC lattice planes alias against
+        # the bin boundaries, so some bins run well above the mean and the
+        # domain engines have no grow-and-retry loop (the single-chip
+        # engines do)
+        _box = np.array([self.slab_w, params.yprd, params.zprd])
+        _nb = [max(1, int(_box[d] // params.cutneigh)) for d in range(3)]
+        _mean = params.rho * (_box[0]/_nb[0]) * (_box[1]/_nb[1]) * (_box[2]/_nb[2])
         self.grid = make_cell_grid(
-            np.array([self.slab_w, params.yprd, params.zprd]),
-            params.cutneigh, params.rho, 0,
+            _box, params.cutneigh, params.rho,
+            capacity=int(math.ceil(_mean * 2.5 / 8.0)) * 8,
         )
         self.mesh = Mesh(np.array(jax.devices()[:ndev]), (AXIS,))
         self._init_host_state(x, v)

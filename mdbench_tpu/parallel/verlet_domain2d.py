@@ -100,9 +100,16 @@ class Domain2DSimulation:
         self.nrows = (
             self.acap + self.gcap + 2 * self.bxcap + 2 * self.bycap + 1
         )
+        # bin capacity: 2.5x the mean — FCC lattice planes alias against
+        # the bin boundaries, so some bins run well above the mean and the
+        # domain engines have no grow-and-retry loop (the single-chip
+        # engines do)
+        _box = np.array([self.wx, self.wy, params.zprd])
+        _nb = [max(1, int(_box[d] // params.cutneigh)) for d in range(3)]
+        _mean = params.rho * (_box[0]/_nb[0]) * (_box[1]/_nb[1]) * (_box[2]/_nb[2])
         self.grid = make_cell_grid(
-            np.array([self.wx, self.wy, params.zprd]),
-            params.cutneigh, params.rho, 0,
+            _box, params.cutneigh, params.rho,
+            capacity=int(math.ceil(_mean * 2.5 / 8.0)) * 8,
         )
         devs = np.array(jax.devices()[: px * py]).reshape(px, py)
         self.mesh = Mesh(devs, (AX, AY))

@@ -1,0 +1,354 @@
+"""3-D multi-chip spatial domain decomposition (verlet scheme).
+
+Generalizes the staged-axis pattern of verlet_domain2d.py to BRICKS over
+a (px, py, pz) mesh: every box axis is distributed, so there are no
+locally-periodic ghosts at all — periodicity rides the ppermute rings.
+Migration is three staged hops (x, then y, then z: an atom that crossed
+a corner reaches the diagonal device in at most three hops), and the
+ghost exchange is three staged face exchanges where each later stage
+scans everything received so far, which covers all 12 edge and 8 corner
+regions without diagonal channels (cf. the reference's explicit
+face/edge/corner ghost walks, pbc.c:90-227).
+
+Per-device row layout:
+  [0, acap)            locals (sentinel padded)
+  [+bx) [+bx)          x-ghosts from left / right
+  [+by) [+by)          y-ghosts from down / up (incl. x-ghost images)
+  [+bz) [+bz)          z-ghosts from below / above (incl. x/y images)
+  [last]               sentinel row
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from mdbench_tpu.config import Params
+from mdbench_tpu.models.lattice import create_fcc_lattice
+from mdbench_tpu.ops.cells import build_cells, make_cell_grid
+from mdbench_tpu.ops.lj import compute_force_lj_full
+from mdbench_tpu.ops.verlet import build_neighbors
+from mdbench_tpu.state import SENTINEL_COORD
+from mdbench_tpu.thermo import adjust_thermo, adjusted_dtforce, setup_thermo
+
+AXES = ("dx", "dy", "dz")
+
+
+class Domain3DResult(NamedTuple):
+    temps: np.ndarray
+    nlocal: np.ndarray
+    overflow: np.ndarray
+    total_time: float
+
+
+class Domain3DSimulation:
+    """LJ MD over a (px, py, pz) brick mesh, fully staged halo."""
+
+    def __init__(self, params: Params, px: int, py: int, pz: int,
+                 x: Optional[np.ndarray] = None,
+                 v: Optional[np.ndarray] = None):
+        assert params.force_field == 0, "3-D domain engine is LJ-only"
+        self.params = params
+        self.pdims = (px, py, pz)
+        prd = (params.xprd, params.yprd, params.zprd)
+        self.w = tuple(prd[d] / self.pdims[d] for d in range(3))
+        c = params.cutneigh
+        assert all(wd >= c for wd in self.w), (
+            f"brick {self.w} under cutneigh {c}"
+        )
+        if x is None:
+            x, v, _ = create_fcc_lattice(params)
+        self.natoms = x.shape[0]
+        self.scales = setup_thermo(params, self.natoms)
+        self.dtforce = adjusted_dtforce(params, self.scales)
+        v = adjust_thermo(params, self.scales, v, self.natoms)
+
+        ndev_total = px * py * pz
+        per_dev = self.natoms / ndev_total
+        self.acap = int(math.ceil(per_dev * 1.3 / 8)) * 8 + 8
+        # staged face-export capacities: stage d scans locals + all
+        # earlier stages' ghosts; each face strip is (c / w_d) of an
+        # extended brick
+        scan = self.acap
+        self.bcap = []
+        for d in range(3):
+            frac = c / self.w[d]
+            cap = int(math.ceil(scan * frac * 2.0)) + 64
+            self.bcap.append(cap)
+            scan += 2 * cap
+        self.migcap = int(math.ceil(self.acap * 0.25)) + 32
+        vol = 4.0 / 3.0 * np.pi * c**3
+        self.maxneighs = max(
+            params.maxneighs, int(math.ceil(vol * params.rho * 1.3 / 8)) * 8
+        )
+        self.nrows = self.acap + 2 * sum(self.bcap) + 1
+        # bin capacity: 2.5x the mean — FCC lattice planes alias against
+        # the bin boundaries, so some bins run well above the mean and the
+        # domain engines have no grow-and-retry loop (the single-chip
+        # engines do)
+        _box = np.array(self.w)
+        _nb = [max(1, int(_box[d] // c)) for d in range(3)]
+        _mean = params.rho * (_box[0]/_nb[0]) * (_box[1]/_nb[1]) * (_box[2]/_nb[2])
+        self.grid = make_cell_grid(
+            _box, c, params.rho,
+            capacity=int(math.ceil(_mean * 2.5 / 8.0)) * 8,
+        )
+        devs = np.array(jax.devices()[:ndev_total]).reshape(px, py, pz)
+        self.mesh = Mesh(devs, AXES)
+        self._init_host_state(x, v)
+
+    def _init_host_state(self, x, v):
+        dtype = self.params.dtype
+        pd = self.pdims
+        idx3 = [
+            np.minimum((x[:, d] / self.w[d]).astype(np.int64), pd[d] - 1)
+            for d in range(3)
+        ]
+        xs = np.full((pd[0], pd[1], pd[2], self.nrows, 3),
+                     SENTINEL_COORD, np.float64)
+        vs = np.zeros((pd[0], pd[1], pd[2], self.acap, 3), np.float64)
+        counts = np.zeros(pd, np.int32)
+        for i in range(pd[0]):
+            for j in range(pd[1]):
+                for k in range(pd[2]):
+                    sel = np.nonzero(
+                        (idx3[0] == i) & (idx3[1] == j) & (idx3[2] == k)
+                    )[0]
+                    n = len(sel)
+                    assert n <= self.acap, "initial brick overflow"
+                    off = np.array([i * self.w[0], j * self.w[1],
+                                    k * self.w[2]])
+                    xs[i, j, k, :n] = x[sel] - off
+                    vs[i, j, k, :n] = v[sel]
+                    counts[i, j, k] = n
+        self.x0 = jnp.asarray(xs, dtype)
+        self.v0 = jnp.asarray(vs, dtype)
+        self.n0 = jnp.asarray(counts)
+
+    # ---- per-device helpers ------------------------------------------------
+
+    def _perm(self, n, sign):
+        return [(i, (i + sign) % n) for i in range(n)]
+
+    def _migrate_axis(self, x, v, nloc, d):
+        acap, migcap = self.acap, self.migcap
+        width = self.w[d]
+        ndev = self.pdims[d]
+        dtype = x.dtype
+        rows = jnp.arange(acap, dtype=jnp.int32)
+        live = rows < nloc
+        xl = x[:acap]
+        go_l = live & (xl[:, d] < 0.0)
+        go_r = live & (xl[:, d] >= width)
+        ovf_drift = jnp.any(
+            live & ((xl[:, d] < -width) | (xl[:, d] >= 2 * width))
+        )
+        stay = live & ~go_l & ~go_r
+
+        def pack(mask, sgn):
+            sv = [0.0, 0.0, 0.0]
+            sv[d] = sgn * width
+            pos = jnp.cumsum(mask) - 1
+            cnt = jnp.sum(mask).astype(jnp.int32)
+            pos = jnp.where(mask & (pos < migcap), pos, migcap)
+            buf = jnp.full((migcap, 6), SENTINEL_COORD, dtype)
+            payload = jnp.concatenate(
+                [xl + jnp.asarray(sv, dtype), v[:acap]], axis=1
+            )
+            return buf.at[pos].set(payload, mode="drop"), cnt
+
+        buf_l, cl = pack(go_l, +1.0)
+        buf_r, cr = pack(go_r, -1.0)
+        ovf = (cl > migcap) | (cr > migcap) | ovf_drift
+        recv_r = jax.lax.ppermute(buf_l, AXES[d], self._perm(ndev, -1))
+        recv_l = jax.lax.ppermute(buf_r, AXES[d], self._perm(ndev, +1))
+
+        pos = jnp.cumsum(stay) - 1
+        n_stay = jnp.sum(stay).astype(jnp.int32)
+        pos = jnp.where(stay, pos, acap)
+        x2 = jnp.full((self.nrows, 3), SENTINEL_COORD, dtype)
+        v2 = jnp.zeros((acap, 3), dtype)
+        x2 = x2.at[pos].set(xl, mode="drop")
+        v2 = v2.at[pos].set(v[:acap], mode="drop")
+
+        def append(x2, v2, n, buf):
+            valid = jnp.abs(buf[:, 0]) < SENTINEL_COORD * 0.5
+            pos = jnp.cumsum(valid) - 1 + n
+            cnt = jnp.sum(valid).astype(jnp.int32)
+            pos = jnp.where(valid & (pos < acap), pos, acap)
+            x2 = x2.at[pos].set(buf[:, 0:3], mode="drop")
+            v2 = v2.at[pos].set(buf[:, 3:6], mode="drop")
+            return x2, v2, n + cnt
+
+        x2, v2, n2 = append(x2, v2, n_stay, recv_l)
+        x2, v2, n2 = append(x2, v2, n2, recv_r)
+        return x2, v2, n2, ovf | (n2 > acap)
+
+    def _stage_base(self, d):
+        return self.acap + 2 * sum(self.bcap[:d])
+
+    def _build_maps_axis(self, x, d):
+        """Face-export maps for axis d over locals + stages < d."""
+        c = self.params.cutneigh
+        nscan = self._stage_base(d)
+        cap = self.bcap[d]
+        xr = x[:nscan]
+        ids = jnp.arange(nscan, dtype=jnp.int32)
+        live = jnp.abs(xr[:, 0]) < SENTINEL_COORD * 0.5
+
+        def pack(mask):
+            pos = jnp.cumsum(mask) - 1
+            cnt = jnp.sum(mask).astype(jnp.int32)
+            pos = jnp.where(mask & (pos < cap), pos, cap)
+            m = jnp.full((cap,), self.nrows - 1, jnp.int32)
+            return m.at[pos].set(ids, mode="drop"), cnt
+
+        ml, cl = pack(live & (xr[:, d] < c))
+        mr, cr = pack(live & (xr[:, d] >= self.w[d] - c))
+        return ml, mr, (cl > cap) | (cr > cap)
+
+    def _exchange_axis(self, x, d, ml, mr):
+        dtype = x.dtype
+        ndev = self.pdims[d]
+        sv = [0.0, 0.0, 0.0]
+        sv[d] = self.w[d]
+        shift = jnp.asarray(sv, dtype)
+        send_l = x[ml] + shift
+        send_r = x[mr] - shift
+        from_r = jax.lax.ppermute(send_l, AXES[d], self._perm(ndev, -1))
+        from_l = jax.lax.ppermute(send_r, AXES[d], self._perm(ndev, +1))
+        g0 = self._stage_base(d)
+        cap = self.bcap[d]
+        x = x.at[g0 : g0 + cap].set(from_l)
+        x = x.at[g0 + cap : g0 + 2 * cap].set(from_r)
+        return x
+
+    def _reneighbor_dev(self, x, v, nloc):
+        ovf_m = jnp.asarray(False)
+        for d in range(3):
+            x, v, nloc, o = self._migrate_axis(x, v, nloc, d)
+            ovf_m = ovf_m | o
+        maps = []
+        ovf_b = jnp.asarray(False)
+        for d in range(3):
+            ml, mr, o = self._build_maps_axis(x, d)
+            ovf_b = ovf_b | o
+            x = self._exchange_axis(x, d, ml, mr)
+            maps.append((ml, mr))
+        cl = build_cells(self.grid, x)
+        nlist = build_neighbors(
+            self.grid, cl, x, None, self.params.cutneigh**2,
+            self.acap, self.acap, self.maxneighs, half=False,
+        )
+        ovf = jnp.stack([ovf_m, ovf_b, cl.overflow, nlist.overflow])
+        return x, v, nloc, maps, nlist, ovf
+
+    def _refresh_ghosts(self, x, maps):
+        for d in range(3):
+            x = self._exchange_axis(x, d, maps[d][0], maps[d][1])
+        return x
+
+    # ---- the sharded run ---------------------------------------------------
+
+    def _make_run_fn(self, ntimes: int):
+        p = self.params
+        dt, dtf = p.dt, self.dtforce
+        every = p.reneigh_every
+        n_int = max(ntimes // every, 1)
+        mass, scales = p.mass, self.scales
+        acap = self.acap
+
+        def dev_body(x, v, nloc):
+            x, v, nloc = x[0, 0, 0], v[0, 0, 0], nloc[0, 0, 0]
+            rows = jnp.arange(acap, dtype=jnp.int32)
+
+            def thermo(v, nloc):
+                live = (rows < nloc)[:, None]
+                vsq = jnp.sum(jnp.where(live, v * v, 0.0)) * mass
+                return jax.lax.psum(vsq, AXES) * scales.t_scale
+
+            def integrate1(x, v, f, nloc):
+                live = (rows < nloc)[:, None]
+                v = jnp.where(live, v + dtf * f, v)
+                x = x.at[:acap].set(
+                    jnp.where(live, x[:acap] + dt * v, x[:acap])
+                )
+                return x, v
+
+            def force(x, nlist):
+                return compute_force_lj_full(
+                    x, nlist.neighbors, nlist.numneigh, acap,
+                    p.cutforce**2, p.sigma6, p.epsilon,
+                )
+
+            def plain_step(carry, _):
+                x, v, f, nloc, maps, nlist, ovf = carry
+                x, v = integrate1(x, v, f, nloc)
+                x = self._refresh_ghosts(x, maps)
+                f = force(x, nlist)
+                live = (rows < nloc)[:, None]
+                v = jnp.where(live, v + dtf * f, v)
+                t = thermo(v, nloc)
+                return (x, v, f, nloc, maps, nlist, ovf), t
+
+            def reneigh_step(carry):
+                x, v, f, nloc, maps, nlist, ovf = carry
+                x, v = integrate1(x, v, f, nloc)
+                x, v, nloc, maps, nlist, ovf2 = (
+                    self._reneighbor_dev(x, v, nloc)
+                )
+                f = force(x, nlist)
+                live = (rows < nloc)[:, None]
+                v = jnp.where(live, v + dtf * f, v)
+                t = thermo(v, nloc)
+                return (
+                    x, v, f, nloc, maps, nlist, ovf | jnp.any(ovf2)
+                ), t
+
+            def interval(carry, _):
+                carry, ts = jax.lax.scan(
+                    plain_step, carry, None, length=every - 1
+                )
+                carry, t_last = reneigh_step(carry)
+                return carry, jnp.concatenate([ts, t_last[None]])
+
+            x, v, nloc, maps, nlist, ovf0 = self._reneighbor_dev(x, v, nloc)
+            f = force(x, nlist)
+            carry = (x, v, f, nloc, maps, nlist, jnp.any(ovf0))
+            carry, temps = jax.lax.scan(interval, carry, None, length=n_int)
+            return (
+                carry[3][None, None, None],
+                carry[6][None, None, None],
+                temps.reshape(1, 1, 1, -1),
+            )
+
+        spec = P(*AXES)
+        sharded = jax.shard_map(
+            dev_body, mesh=self.mesh,
+            in_specs=(spec, spec, spec),
+            out_specs=(spec, spec, spec),
+        )
+        return jax.jit(sharded)
+
+    def run(self, ntimes: Optional[int] = None) -> Domain3DResult:
+        p = self.params
+        ntimes = p.ntimes if ntimes is None else ntimes
+        run_fn = self._make_run_fn(ntimes)
+        t0 = time.perf_counter()
+        nloc, ovf, temps = run_fn(self.x0, self.v0, self.n0)
+        _fence = float(jnp.ravel(temps)[0])
+        total = time.perf_counter() - t0
+        nloc = np.asarray(nloc)
+        ovf = np.asarray(ovf)
+        if ovf.any():
+            raise RuntimeError("3-D domain capacity overflow")
+        return Domain3DResult(
+            temps=np.asarray(temps[0, 0, 0]).reshape(-1),
+            nlocal=nloc, overflow=ovf, total_time=total,
+        )

@@ -201,6 +201,30 @@ def test_domain2d_matches_single_device(px, py):
                                atol=1e-12)
 
 
+@pytest.mark.parametrize("pdims", [(2, 2, 2), (2, 2, 1), (1, 1, 2)])
+def test_domain3d_matches_single_device(pdims):
+    """3-D brick decomposition: staged 3-axis migration + halo exchange.
+    Mesh axes of size 1 degenerate to local periodic wrap through the
+    self-ppermute, so one engine covers 1-D/2-D/3-D."""
+    from mdbench_tpu.engine import Simulation
+    from mdbench_tpu.parallel.verlet_domain3d import Domain3DSimulation
+
+    px, py, pz = pdims
+    if len(jax.devices()) < px * py * pz:
+        pytest.skip("not enough devices")
+    mk = lambda: Params(nx=10, ny=10, nz=10, ntimes=20, reneigh_every=10)
+    p = mk()
+    if (p.xprd / px < p.cutneigh or p.yprd / py < p.cutneigh
+            or p.zprd / pz < p.cutneigh):
+        pytest.skip("brick under cutoff")
+    dom = Domain3DSimulation(mk(), px=px, py=py, pz=pz)
+    out = dom.run()
+    assert int(out.nlocal.sum()) == dom.natoms
+    out_s = Simulation(mk()).run()
+    np.testing.assert_allclose(out.temps, out_s.temps, rtol=1e-8,
+                               atol=1e-12)
+
+
 def test_domain_engine_8dev():
     from mdbench_tpu.parallel.verlet_domain import DomainSimulation
 

@@ -52,6 +52,36 @@ def test_checkpoint_roundtrip(tmp_path):
     assert abs(out2.temps[0] - out.temps[-1]) < 0.2
 
 
+def test_cluster_stub_runs():
+    """Cluster-scheme synthetic-list microbenchmark (reference
+    clusterpair/main-stub.c analogue)."""
+    from mdbench_tpu.stub import run_cluster_stub
+
+    r = run_cluster_stub(natoms=2048, nneighs=8, ntimes=2, pattern="rand")
+    assert r["mega_updates"] > 0
+    assert r["scheme"] == "cluster"
+
+
+def test_cluster_vtk_four_files(tmp_path):
+    """The clusterpair 4-file VTK dump writes all four files with
+    parseable headers."""
+    from mdbench_tpu.config import Params
+    from mdbench_tpu.engine_cluster import ClusterSimulation
+    from mdbench_tpu.io.vtk import write_cluster_vtk_files
+
+    p = Params(nx=3, ny=3, nz=3, kernel="xla")
+    sim = ClusterSimulation(p)
+    st = sim.initial_state()
+    files = write_cluster_vtk_files(
+        str(tmp_path / "c"), st.clusters, sim.n_clusters_pad,
+        int(st.halo.nghost), 0,
+    )
+    assert len(files) == 4
+    for f in files:
+        head = open(f).readline()
+        assert head.startswith("# vtk DataFile"), f
+
+
 def test_native_writers_byte_identical(tmp_path, monkeypatch):
     """The C++ fast writers (native/fast_writers.cpp) must produce
     byte-identical VTK / tracer files to the pure-Python fallbacks."""

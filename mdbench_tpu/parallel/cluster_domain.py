@@ -128,6 +128,7 @@ class ClusterDomainSimulation:
             self.ncl_pad + self.gcap_rows + 4 * self.xcap16 + 2
         )
         self.mesh = Mesh(np.array(jax.devices()[:ndev]), (AXIS,))
+        self._xv_init = (x, v)
         self._init_host_state(x, v)
 
     def _init_host_state(self, x, v):
@@ -464,7 +465,22 @@ class ClusterDomainSimulation:
         )
         return jax.jit(sharded)
 
-    def run(self, ntimes: Optional[int] = None) -> ClusterDomainResult:
+
+    def _grow_and_reinit(self):
+        blk = 8 * GROUP
+        self.acap = (int(self.acap * 1.4) + 39) // 8 * 8
+        self.ncl_pad = (int(self.ncl_pad * 1.3) + blk) // blk * blk
+        self.gcap_rows = (int(self.gcap_rows * 1.4) + 33) // 2 * 2
+        self.xcap16 = int(self.xcap16 * 1.4) + 32
+        self.migcap = int(self.migcap * 1.4) + 32
+        self.list_cap = (int(self.list_cap * 1.4) + 7) // 8 * 8
+        self.nrows_cl = (
+            self.ncl_pad + self.gcap_rows + 4 * self.xcap16 + 2
+        )
+        self._init_host_state(*self._xv_init)
+
+    def run(self, ntimes: Optional[int] = None,
+            _retry: int = 6) -> ClusterDomainResult:
         p = self.params
         ntimes = p.ntimes if ntimes is None else ntimes
         run_fn = self._make_run_fn(ntimes)
@@ -475,6 +491,9 @@ class ClusterDomainSimulation:
         nloc = np.asarray(nloc)
         ovf = np.asarray(ovf)
         if ovf.any():
+            if _retry > 0:
+                self._grow_and_reinit()
+                return self.run(ntimes, _retry=_retry - 1)
             raise RuntimeError("cluster-domain capacity overflow")
         return ClusterDomainResult(
             temps=np.asarray(temps[0]).reshape(-1), nlocal=nloc,

@@ -185,6 +185,7 @@ class DomainSimulation:
             capacity=int(math.ceil(_mean * 2.5 / 8.0)) * 8,
         )
         self.mesh = Mesh(np.array(jax.devices()[:ndev]), (AXIS,))
+        self._xv_init = (x, v)
         self._init_host_state(x, v)
 
     def _init_host_state(self, x, v):
@@ -495,7 +496,23 @@ class DomainSimulation:
         )
         return jax.jit(sharded)
 
-    def run(self, ntimes: Optional[int] = None) -> DomainResult:
+
+    def _grow_and_reinit(self):
+        """Capacity-overflow retry (domain analogue of the single-chip
+        engines' grow-and-retrace): bump every data-dependent capacity
+        1.4x, recompute the row layout, re-init device state."""
+        self.acap = (int(self.acap * 1.4) + 39) // 8 * 8
+        self.gcap = int(self.gcap * 1.4) + 32
+        self.bcap = int(self.bcap * 1.4) + 32
+        self.migcap = int(self.migcap * 1.4) + 32
+        self.maxneighs = (int(self.maxneighs * 1.4) + 7) // 8 * 8
+        self.nrows = self.acap + self.gcap + 2 * self.bcap + 1
+        self.grid = self.grid._replace(
+            capacity=int(self.grid.capacity * 1.5 + 7) // 8 * 8
+        )
+        self._init_host_state(*self._xv_init)
+
+    def run(self, ntimes: Optional[int] = None, _retry: int = 6) -> DomainResult:
         p = self.params
         ntimes = p.ntimes if ntimes is None else ntimes
         dtype = p.dtype
@@ -522,6 +539,9 @@ class DomainSimulation:
             neighbors=out[8], numneigh=out[9], overflow=out[10],
         )
         if bool(np.asarray(state.overflow).any()):
+            if _retry > 0:
+                self._grow_and_reinit()
+                return self.run(ntimes, _retry=_retry - 1)
             raise RuntimeError(
                 "domain capacity overflow: " + str(np.asarray(state.overflow))
             )

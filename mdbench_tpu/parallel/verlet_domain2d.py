@@ -113,6 +113,7 @@ class Domain2DSimulation:
         )
         devs = np.array(jax.devices()[: px * py]).reshape(px, py)
         self.mesh = Mesh(devs, (AX, AY))
+        self._xv_init = (x, v)
         self._init_host_state(x, v)
 
     def _init_host_state(self, x, v):
@@ -410,7 +411,24 @@ class Domain2DSimulation:
         )
         return jax.jit(sharded)
 
-    def run(self, ntimes: Optional[int] = None) -> Domain2DResult:
+
+    def _grow_and_reinit(self):
+        self.acap = (int(self.acap * 1.4) + 39) // 8 * 8
+        self.gcap = int(self.gcap * 1.4) + 32
+        self.bxcap = int(self.bxcap * 1.4) + 32
+        self.bycap = int(self.bycap * 1.4) + 32
+        self.migcap = int(self.migcap * 1.4) + 32
+        self.maxneighs = (int(self.maxneighs * 1.4) + 7) // 8 * 8
+        self.nrows = (
+            self.acap + self.gcap + 2 * self.bxcap + 2 * self.bycap + 1
+        )
+        self.grid = self.grid._replace(
+            capacity=int(self.grid.capacity * 1.5 + 7) // 8 * 8
+        )
+        self._init_host_state(*self._xv_init)
+
+    def run(self, ntimes: Optional[int] = None,
+            _retry: int = 6) -> Domain2DResult:
         p = self.params
         ntimes = p.ntimes if ntimes is None else ntimes
         run_fn = self._make_run_fn(ntimes)
@@ -421,6 +439,9 @@ class Domain2DSimulation:
         nloc = np.asarray(nloc)
         ovf = np.asarray(ovf)
         if ovf.any():
+            if _retry > 0:
+                self._grow_and_reinit()
+                return self.run(ntimes, _retry=_retry - 1)
             raise RuntimeError("2-D domain capacity overflow")
         return Domain2DResult(
             temps=np.asarray(temps[0, 0]).reshape(-1),

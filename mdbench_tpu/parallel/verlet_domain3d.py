@@ -101,6 +101,7 @@ class Domain3DSimulation:
         )
         devs = np.array(jax.devices()[:ndev_total]).reshape(px, py, pz)
         self.mesh = Mesh(devs, AXES)
+        self._xv_init = (x, v)
         self._init_host_state(x, v)
 
     def _init_host_state(self, x, v):
@@ -336,7 +337,20 @@ class Domain3DSimulation:
         )
         return jax.jit(sharded)
 
-    def run(self, ntimes: Optional[int] = None) -> Domain3DResult:
+
+    def _grow_and_reinit(self):
+        self.acap = (int(self.acap * 1.4) + 39) // 8 * 8
+        self.bcap = [int(b * 1.4) + 32 for b in self.bcap]
+        self.migcap = int(self.migcap * 1.4) + 32
+        self.maxneighs = (int(self.maxneighs * 1.4) + 7) // 8 * 8
+        self.nrows = self.acap + 2 * sum(self.bcap) + 1
+        self.grid = self.grid._replace(
+            capacity=int(self.grid.capacity * 1.5 + 7) // 8 * 8
+        )
+        self._init_host_state(*self._xv_init)
+
+    def run(self, ntimes: Optional[int] = None,
+            _retry: int = 6) -> Domain3DResult:
         p = self.params
         ntimes = p.ntimes if ntimes is None else ntimes
         run_fn = self._make_run_fn(ntimes)
@@ -347,6 +361,9 @@ class Domain3DSimulation:
         nloc = np.asarray(nloc)
         ovf = np.asarray(ovf)
         if ovf.any():
+            if _retry > 0:
+                self._grow_and_reinit()
+                return self.run(ntimes, _retry=_retry - 1)
             raise RuntimeError("3-D domain capacity overflow")
         return Domain3DResult(
             temps=np.asarray(temps[0, 0, 0]).reshape(-1),

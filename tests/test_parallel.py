@@ -138,6 +138,25 @@ def test_cluster_domain_matches_single_device():
     np.testing.assert_allclose(out.temps, out_s.temps, rtol=1e-8)
 
 
+def test_domain_overflow_recovery():
+    """Domain engines grow-and-retry on capacity overflow instead of
+    hard-failing (the multi-chip analogue of the single-chip engines'
+    grow-and-retrace)."""
+    from mdbench_tpu.engine import Simulation
+    from mdbench_tpu.parallel.verlet_domain import DomainSimulation
+
+    ndev = 2
+    if len(jax.devices()) < ndev:
+        pytest.skip("not enough devices")
+    mk = lambda: Params(nx=8, ny=4, nz=4, ntimes=10, reneigh_every=5)
+    dom = DomainSimulation(mk(), ndev=ndev)
+    dom.maxneighs = 16  # force neighbor-list overflow on purpose
+    out = dom.run()
+    assert dom.maxneighs > 16  # grew
+    out_s = Simulation(mk()).run()
+    np.testing.assert_allclose(out.temps, out_s.temps, rtol=1e-8)
+
+
 def test_capacity_plan_10m_atoms_v5e8():
     """BASELINE.md multi-chip row: the 10M-atom config must PLAN within
     v5e HBM (16 GB/chip) on an 8-chip mesh. (Execution at that scale

@@ -87,6 +87,30 @@ def test_eam_trajectory_matches_c_reference():
         assert out.press[step - 1] == pytest.approx(p_gold, rel=5e-6)
 
 
+# EAM Cu_u6 variant (second funcfl file in reference data/), 6x6x6,
+# 50 steps; generated with the same binary + `-e data/Cu_u6.eam`
+GOLDEN_EAM_U6 = {
+    10: (5.769310e02, 5.602045e03),
+    20: (5.121007e02, 4.972538e03),
+    30: (4.179043e02, 4.057883e03),
+    40: (3.153886e02, 3.062448e03),
+    50: (2.294434e02, 2.227913e03),
+}
+
+
+def test_eam_cu_u6_trajectory_matches_c_reference():
+    """Second EAM table file: exercises the funcfl reader + spline
+    re-interpolation on different grid parameters."""
+    p = Params(
+        nx=6, ny=6, nz=6, ntimes=50, force_field=FF_EAM,
+        eam_file="/root/reference/data/Cu_u6.eam",
+    )
+    out = Simulation(p).run()
+    for step, (t_gold, p_gold) in GOLDEN_EAM_U6.items():
+        assert out.temps[step - 1] == pytest.approx(t_gold, rel=5e-6)
+        assert out.press[step - 1] == pytest.approx(p_gold, rel=5e-6)
+
+
 def test_lj_half_neighbor_matches_c_reference():
     """half_neigh=1 (Newton scatter path) against the same golden trace
     (the reference's half and full traces coincide at this tolerance —

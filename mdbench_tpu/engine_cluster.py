@@ -35,6 +35,7 @@ from mdbench_tpu.ops.cluster import (
     build_cluster_pairs,
     build_clusters,
     compute_bboxes,
+    derive_ilists,
     make_cluster_grid,
     make_j16_bboxes,
     refresh_pair_ranges,
@@ -46,6 +47,7 @@ from mdbench_tpu.ops.pallas.lj_cluster import (
     lj_cluster_force_pallas_stream,
     lj_cluster_force_xla,
     lj_cluster_force_xla_half,
+    lj_cluster_force_xla_ilist,
 )
 from mdbench_tpu.state import SENTINEL_COORD
 from mdbench_tpu.thermo import ThermoScales, adjust_thermo, adjusted_dtforce, setup_thermo
@@ -73,13 +75,19 @@ class CRunResult(NamedTuple):
     total_time: float
 
 
+def _kernel_mode(params: Params) -> str:
+    """Resolve the kernel axis. "auto" -> "ilist" on every backend:
+    measured on TPU (PERF.md round 2) the exact per-i-cluster XLA path
+    beats all Pallas variants ~9x (0.6 ms vs 5.1-6.0 ms at 131k) because
+    the force is padded-pair-roofline-bound, and it is pure XLA so the
+    same program is the CPU-parity path."""
+    if params.kernel == "auto":
+        return "ilist"
+    return params.kernel
+
+
 def _use_pallas(params: Params) -> bool:
-    if params.kernel == "xla":
-        return False
-    on_cpu = jax.devices()[0].platform == "cpu"
-    if params.kernel in ("pallas", "pallas_ds", "pallas_mxu"):
-        return True
-    return not on_cpu  # auto
+    return _kernel_mode(params) in ("pallas", "pallas_ds", "pallas_mxu")
 
 
 class ClusterSimulation:
@@ -168,6 +176,17 @@ class ClusterSimulation:
         )
         L = int(math.ceil(vol * params.rho / 16.0 * 1.45 / 8.0)) * 8
         self.list_cap = max(32, L)
+        # per-i-cluster exact-list capacity (kernel="ilist"): atoms in a
+        # cutneigh sphere dilated by typical cluster half-extents, /16
+        # per j16 cluster, with headroom; calibrated down after the
+        # first build and grown on overflow like every other capacity
+        r_eff = params.cutneigh + 0.5 * max(sx, sy) + 1.2
+        self.icap = max(
+            16,
+            int(math.ceil(4.19 * r_eff**3 * params.rho / 16.0 * 1.35 / 8.0))
+            * 8,
+        )
+        self._ilist = _kernel_mode(params) == "ilist" and not params.half_neigh
 
         self._x0 = x
         self._v0 = v
@@ -241,10 +260,16 @@ class ClusterSimulation:
             self.grid, cells, bb_cells, clusters.bbox,
             self.n_clusters_pad, GROUP, self.list_cap,
         )
+        if self._ilist:
+            pairs = derive_ilists(
+                clusters, pairs, self.n_clusters_pad, GROUP,
+                p.cutneigh, self.icap,
+            )
+        iovf = pairs.iovf if pairs.iovf is not None else jnp.asarray(False)
         # selective overflow flags -> targeted growth in run()
         ovf = jnp.stack([
             ovf_c, halo.overflow, ovf_bcap, ovf_zext,
-            pairs.overflow[0], pairs.overflow[1],
+            pairs.overflow[0], pairs.overflow[1], iovf,
         ])
         return clusters, (vxc, vyc, vzc), halo, pairs, ovf
 
@@ -288,6 +313,13 @@ class ClusterSimulation:
             return lj_cluster_force_xla_half(
                 clusters.xc, clusters.yc, clusters.zc, pairs.jlist,
                 self.n_clusters_pad, GROUP, cutsq, p.sigma6, p.epsilon,
+                tc=clusters.tc if typed else None,
+                tables=self._tables_jnp if typed else None,
+            )
+        if self._ilist:
+            return lj_cluster_force_xla_ilist(
+                clusters.xc, clusters.yc, clusters.zc, pairs.ijlist,
+                self.n_clusters_pad, cutsq, p.sigma6, p.epsilon,
                 tc=clusters.tc if typed else None,
                 tables=self._tables_jnp if typed else None,
             )
@@ -419,7 +451,16 @@ class ClusterSimulation:
         rebuilding lists. Fires every prune_every steps WITHIN a
         reneighbor interval (the reference aligns to global step count;
         with its defaults — prune 1000, reneigh 20 — neither ever fires
-        between rebuilds)."""
+        between rebuilds). On the ilist path the prune re-derives the
+        exact per-i-cluster lists from current coordinates (list only
+        shrinks: candidates come from the existing group list)."""
+        if self._ilist:
+            return state._replace(
+                pairs=derive_ilists(
+                    state.clusters, state.pairs, self.n_clusters_pad,
+                    GROUP, self.params.cutneigh, self.icap,
+                )
+            )
         return state._replace(
             pairs=refresh_pair_ranges(
                 state.clusters, state.pairs, self.n_clusters_pad, GROUP,
@@ -490,10 +531,20 @@ class ClusterSimulation:
         njg = np.asarray(state0.pairs.ranges)[:, 0, 2 * GROUP]
         need = int(njg.max()) * 8
         tight = max((int(need * 1.25) + 7) // 8 * 8, 32)
+        shrunk = False
         if tight < self.list_cap:
             self.list_cap = tight
-            return True
-        return False
+            shrunk = True
+        if state0.pairs.nji is not None:
+            # ilist capacity: the kernel computes icap*16 pairs per
+            # i-cluster row whether real or padding, so every unused
+            # slab costs ~1% of the force step — calibrate tightly
+            need_i = int(np.asarray(state0.pairs.nji).max())
+            tight_i = max((int(need_i * 1.15) + 2 + 7) // 8 * 8, 16)
+            if tight_i < self.icap:
+                self.icap = tight_i
+                shrunk = True
+        return shrunk
 
     def run(self, ntimes: Optional[int] = None, max_retries: int = 5) -> CRunResult:
         p = self.params
@@ -533,9 +584,11 @@ class ClusterSimulation:
 
     def _grow(self, flags=None):
         """Targeted capacity growth. flags = [clusters, ghosts, bin_cap,
-        z_ext, pairs_nj, pairs_coverage]; None grows everything."""
+        z_ext, pairs_nj, pairs_coverage, ilist_nji]; None grows all."""
         if flags is None:
-            flags = np.ones(6, bool)
+            flags = np.ones(7, bool)
+        if len(flags) > 6 and flags[6]:
+            self.icap = (int(self.icap * 1.5) + 7) // 8 * 8
         blk = 8 * GROUP
         if flags[0]:
             self.n_clusters_pad = (

@@ -146,12 +146,22 @@ class ClusterPairList(NamedTuple):
     """Per-group shared j-cluster list (NG, 1, L) for the Pallas kernel
     (SMEM-blocked), z-sorted and padded with the sentinel cluster id.
     `ranges` packs per-member tile windows: [0:G) start tile, [G:2G) end
-    tile, [2G] the group's tile-loop bound."""
+    tile, [2G] the group's tile-loop bound.
+
+    ijlist/nji (present on the kernel="ilist" path, else None): exact
+    per-i-cluster j16 lists derived from the group list by the exact
+    8x16 atom-distance check (the reference's atomDistanceInRange,
+    neighbor.c:262-436). Measured on the 131k workload these are 3-8x
+    tighter than group windows (mean 26 / max 31 j16 per i-cluster vs
+    ~42 windowed), which is what sets the force kernel's pair count."""
 
     jlist: jnp.ndarray  # (NG, 1, L) int32
     ranges: jnp.ndarray  # (NG, 1, 2*G+1) int32
     nj: jnp.ndarray  # (NG,) int32
     overflow: jnp.ndarray
+    ijlist: jnp.ndarray | None = None  # (NIC, icap) int32 j16 ids
+    nji: jnp.ndarray | None = None  # (NIC,) int32
+    iovf: jnp.ndarray | None = None  # () bool — nji > icap anywhere
 
 
 def _zbits(z):
@@ -460,7 +470,13 @@ def build_cluster_pairs(
     """Shared j16-cluster list per group of `group` consecutive
     i-clusters (reference buildNeighbor, neighbor.c:176-436, re-shaped:
     per-group z-sorted union lists with per-i-cluster tile windows feed
-    the 8x128 kernel; bbox distance is the only prune)."""
+    the 8x128 kernel; bbox distance is the only prune).
+
+    Compaction is a bitonic SORT, deliberately: a cumsum + dynamic-index
+    scatter looks cheaper but measured ~7x SLOWER in context on TPU
+    (dynamic-index scatters run at ~0.14G updates/s; the earlier probe
+    that said otherwise had constant indices, which XLA folds into a
+    different lowering entirely)."""
     ng = n_clusters_pad // group
     dims = grid.bin_dims
     size = grid.bin_size
@@ -600,6 +616,83 @@ def build_cluster_pairs(
     return ClusterPairList(
         jlist=jlist, ranges=ranges, nj=nj,
         overflow=jnp.stack([jnp.any(ovf_njs), jnp.any(ovf_covs)]),
+    )
+
+
+def derive_ilists(
+    clusters: Clusters,
+    pairs: ClusterPairList,
+    n_clusters_pad: int,
+    group: int,
+    cutneigh: float,
+    icap: int,
+    chunk: int = 128,
+) -> ClusterPairList:
+    """Exact per-i-cluster j16 lists, derived from the group-shared lists
+    by the exact minimum atom-atom distance check (the reference's
+    atomDistanceInRange prune, src/clusterpair/neighbor.c:262-436, at
+    (8-atom i-cluster) x (16-atom j-cluster) granularity, against
+    cutneigh so the list survives a reneighbor interval).
+
+    This feeds the `ilist` force kernel: measured on TPU, the force path
+    is VPU-roofline-bound by the PADDED pair count, and exact per-i
+    lists carry 3-8x fewer padded pairs than any group-shared layout
+    (PERF.md round 2). The exact check costs one force-equivalent pass
+    per rebuild — amortized over the reneighbor interval.
+
+    Kept entries preserve the group list's z-sorted order (compaction is
+    a stable sort on the drop flag). Dropped/padding slots hold the
+    sentinel j16 id, whose ~1e30 coordinates fail the cutoff in the
+    kernel naturally."""
+    ng, _, L = pairs.jlist.shape
+    cjn = clusters.xc.shape[0] // 2
+    dtype = clusters.xc.dtype
+    x16 = clusters.xc.reshape(cjn, 16)
+    y16 = clusters.yc.reshape(cjn, 16)
+    z16 = clusters.zc.reshape(cjn, 16)
+    sentinel16 = cjn - 1
+    jl_all = pairs.jlist.reshape(ng, L)
+    nj_all = pairs.nj
+    xi_all = clusters.xc[:n_clusters_pad].reshape(ng, group * M)
+    yi_all = clusters.yc[:n_clusters_pad].reshape(ng, group * M)
+    zi_all = clusters.zc[:n_clusters_pad].reshape(ng, group * M)
+    cutsq = cutneigh * cutneigh
+    lpos = jnp.arange(L, dtype=jnp.int32)
+
+    def chunk_fn(g0):
+        gs = g0 + jnp.arange(chunk, dtype=jnp.int32)
+        gsafe = jnp.where(gs < ng, gs, 0)
+        jl = jl_all[gsafe]  # (chunk, L)
+        xj = x16[jl]  # (chunk, L, 16)
+        yj = y16[jl]
+        zj = z16[jl]
+        xi = xi_all[gsafe].reshape(chunk, group, M, 1, 1)
+        yi = yi_all[gsafe].reshape(chunk, group, M, 1, 1)
+        zi = zi_all[gsafe].reshape(chunk, group, M, 1, 1)
+        dx = xi - xj.reshape(chunk, 1, 1, L, 16)
+        dy = yi - yj.reshape(chunk, 1, 1, L, 16)
+        dz = zi - zj.reshape(chunk, 1, 1, L, 16)
+        rsq = dx * dx + dy * dy + dz * dz
+        mind = jnp.min(rsq, axis=(2, 4))  # (chunk, group, L)
+        keep = (mind <= cutsq) & (lpos[None, None, :] < nj_all[gsafe][:, None, None])
+        nji = jnp.sum(keep, axis=2).astype(jnp.int32)
+        # stable compaction: kept entries first, z order kept. A bitonic
+        # sort on a single packed key (drop-flag * L + position) — NOT a
+        # cumsum + scatter, which is ~4x slower in context on TPU
+        # (dynamic-index scatter lowering)
+        key = jnp.where(keep, lpos, L + lpos)
+        jlb = jnp.broadcast_to(jl[:, None, :], keep.shape)
+        sk, sj = jax.lax.sort((key, jlb), num_keys=1, dimension=2)
+        ijl = jnp.where(sk[:, :, :icap] < L, sj[:, :, :icap], sentinel16)
+        return ijl, nji
+
+    ngpad = ((ng + chunk - 1) // chunk) * chunk
+    starts = jnp.arange(0, ngpad, chunk, dtype=jnp.int32)
+    ijls, njis = jax.lax.map(chunk_fn, starts)
+    ijlist = ijls.reshape(-1, icap)[: ng * group]
+    nji = njis.reshape(-1)[: ng * group]
+    return pairs._replace(
+        ijlist=ijlist, nji=nji, iovf=jnp.any(nji > icap)
     )
 
 

@@ -653,6 +653,69 @@ def lj_cluster_force_xla(
     return fx, fy, fz
 
 
+def lj_cluster_force_xla_ilist(
+    xc, yc, zc,  # (C_total, 8) coordinate planes
+    ijlist,  # (NIC, icap) int32 — exact per-i-cluster j16 ids
+    n_clusters_pad: int,
+    cutforcesq, sigma6, epsilon,
+    tc=None, tables=None,  # typed runs: type plane + (T,T) jnp tables
+):
+    """Per-i-cluster exact-list LJ force — the fast path on TPU.
+
+    Round-2 measurement (PERF.md): the force path is bound by PADDED
+    pair count at the VPU roofline (~130 G padded pairs/s f32), not by
+    gathers or kernel-language choice — a plain fused XLA program beats
+    every hand-written Pallas variant once the lists are tight. Exact
+    per-i-cluster lists (derive_ilists) carry ~80-100M padded pairs on
+    the 131k workload vs 240-660M for group-shared layouts: measured
+    0.6 ms/step vs 5.1-5.8 ms.
+
+    Reference anchor: per-cluster lists with the exact
+    atomDistanceInRange prune (src/clusterpair/neighbor.c:176-436);
+    the kernel itself is the computeForceLJ_4xn contraction
+    (force_lj.c:613-936) expressed as one fused XLA elementwise+reduce
+    over (NIC, 8, icap*16)."""
+    nic, icap = ijlist.shape
+    assert nic == n_clusters_pad
+    cjn = xc.shape[0] // 2
+    # ONE packed row gather for all planes: measured 1.1 ms for the
+    # packed (783k rows x 48) fetch vs ~4.5 ms as three per-plane
+    # gathers (row-issue-bound, so fewer+fatter rows win)
+    planes = [xc.reshape(cjn, 16), yc.reshape(cjn, 16), zc.reshape(cjn, 16)]
+    if tables is not None:
+        planes.append(tc.reshape(cjn, 16))
+    packed = jnp.concatenate(planes, axis=1)
+    rows = packed[ijlist.reshape(-1)].reshape(nic, icap, len(planes) * 16)
+    xj = rows[:, :, 0:16].reshape(nic, 1, icap * 16)
+    yj = rows[:, :, 16:32].reshape(nic, 1, icap * 16)
+    zj = rows[:, :, 32:48].reshape(nic, 1, icap * 16)
+    xi = xc[:nic].reshape(nic, 8, 1)
+    yi = yc[:nic].reshape(nic, 8, 1)
+    zi = zc[:nic].reshape(nic, 8, 1)
+
+    if tables is not None:
+        eps_t, sig6_t, cutsq_t = tables
+        ti = tc[:nic].reshape(nic, 8, 1).astype(jnp.int32)
+        tj = rows[:, :, 48:64].reshape(nic, 1, icap * 16).astype(jnp.int32)
+        epsilon = eps_t[ti, tj]
+        sigma6 = sig6_t[ti, tj]
+        cutforcesq = cutsq_t[ti, tj]
+
+    dx = xi - xj
+    dy = yi - yj
+    dz = zi - zj
+    rsq = dx * dx + dy * dy + dz * dz
+    mask = (rsq < cutforcesq) & (rsq > 0.0)
+    rs = jnp.where(mask, rsq, 1.0)
+    sr2 = 1.0 / rs
+    sr6 = sr2 * sr2 * sr2 * sigma6
+    gf = jnp.where(mask, 48.0 * epsilon * sr6 * (sr6 - 0.5) * sr2, 0.0)
+    fx = jnp.sum(dx * gf, axis=2)
+    fy = jnp.sum(dy * gf, axis=2)
+    fz = jnp.sum(dz * gf, axis=2)
+    return fx, fy, fz
+
+
 def lj_cluster_force_xla_half(
     xc, yc, zc, jlist, n_clusters_pad: int, group: int,
     cutforcesq, sigma6, epsilon,

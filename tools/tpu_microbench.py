@@ -110,82 +110,132 @@ def gather_rates():
 
 
 def kernel_ab(quick=False):
-    """Force-kernel A/B at the 131k benchmark workload: streaming vs
-    dynamic-slice vs XLA oracle, plus repack-gather-only cost."""
+    """Force-kernel A/B at the 131k benchmark workload. All coordinate
+    planes ride through timeit as jit ARGUMENTS (closing over them lets
+    XLA constant-fold two of the three plane gathers and part of the
+    distance math — the round-1 standalone numbers did exactly that)."""
     import jax
     import jax.numpy as jnp
 
     from mdbench_tpu.config import Params
     from mdbench_tpu.engine_cluster import GROUP, ClusterSimulation
     from mdbench_tpu.ops.pallas.lj_cluster import (
-        lj_cluster_force_pallas,
         lj_cluster_force_pallas_stream,
         lj_cluster_force_xla,
+        lj_cluster_force_xla_ilist,
         repack_jtiles,
     )
 
-    p = Params(precision="sp", kernel="xla", dense_thermo=False)
+    p = Params(precision="sp", kernel="ilist", dense_thermo=False)
     sim = ClusterSimulation(p)
     st = sim.initial_state()
     jax.block_until_ready(st)
+    if sim._calibrate_list_cap(st):  # measure at benchmark capacities
+        st = sim.initial_state()
+        jax.block_until_ready(st)
     cl, pairs = st.clusters, st.pairs
     cutsq = p.cutforce**2
     npad = sim.n_clusters_pad
+    print("CAPS list_cap=%d icap=%d npad=%d"
+          % (sim.list_cap, sim.icap, npad))
 
-    def mk(fn, **kw):
-        @jax.jit
-        def f(xc):
-            return fn(xc, cl.yc, cl.zc, pairs.jlist, **kw)
+    def f_ilist(xc, yc, zc):
+        return lj_cluster_force_xla_ilist(
+            xc, yc, zc, pairs.ijlist, npad, cutsq, p.sigma6, p.epsilon)
 
-        return f
+    def f_xla(xc, yc, zc):
+        return lj_cluster_force_xla(
+            xc, yc, zc, pairs.jlist, npad, GROUP, cutsq, p.sigma6,
+            p.epsilon)
 
-    from mdbench_tpu.ops.pallas.lj_cluster import (
-        lj_cluster_force_pallas_mxu,
-    )
+    def f_stream(xc, yc, zc):
+        return lj_cluster_force_pallas_stream(
+            xc, yc, zc, pairs.jlist, pairs.ranges, npad, GROUP, cutsq,
+            p.sigma6, p.epsilon)
 
-    stream = mk(
-        lj_cluster_force_pallas_stream, ranges=pairs.ranges,
-        n_clusters_pad=npad, group=GROUP, cutforcesq=cutsq,
-        sigma6=p.sigma6, epsilon=p.epsilon,
-    )
-    mxu = mk(
-        lj_cluster_force_pallas_mxu, ranges=pairs.ranges,
-        n_clusters_pad=npad, group=GROUP, cutforcesq=cutsq,
-        sigma6=p.sigma6, epsilon=p.epsilon,
-    )
-    ds = mk(
-        lj_cluster_force_pallas, ranges=pairs.ranges,
-        n_clusters_pad=npad, group=GROUP, cutforcesq=cutsq,
-        sigma6=p.sigma6, epsilon=p.epsilon,
-    )
-    xla = mk(
-        lj_cluster_force_xla, n_clusters_pad=npad, group=GROUP,
-        cutforcesq=cutsq, sigma6=p.sigma6, epsilon=p.epsilon,
-    )
+    def f_repack(xc, yc, zc):
+        return repack_jtiles(xc, yc, zc, pairs.jlist)
 
-    @jax.jit
-    def repack_only(xc):
-        return repack_jtiles(xc, cl.yc, cl.zc, pairs.jlist)
-
-    print("FORCE stream : %.3f ms" % (timeit(stream, cl.xc) * 1e3))
-    try:
-        print("FORCE mxu    : %.3f ms" % (timeit(mxu, cl.xc) * 1e3))
-    except Exception as e:  # Mosaic may reject a layout; report, go on
-        print("FORCE mxu    : FAILED %s: %s" % (type(e).__name__,
-                                                str(e)[:300]))
-    print("FORCE ds(r1) : %.3f ms" % (timeit(ds, cl.xc) * 1e3))
-    print("REPACK gather: %.3f ms" % (timeit(repack_only, cl.xc) * 1e3))
+    args = (cl.xc, cl.yc, cl.zc)
+    print("FORCE ilist  : %.3f ms (%.0fM padded pairs)"
+          % (timeit(f_ilist, *args) * 1e3, npad * 8 * sim.icap * 16 / 1e6))
     if not quick:
-        print("FORCE xla    : %.3f ms" % (timeit(xla, cl.xc) * 1e3))
+        print("FORCE xla    : %.3f ms (%.0fM padded pairs)"
+              % (timeit(f_xla, *args) * 1e3,
+                 npad * 8 * sim.list_cap * 16 / 1e6))
+        print("FORCE stream : %.3f ms" % (timeit(f_stream, *args) * 1e3))
+        print("REPACK gather: %.3f ms" % (timeit(f_repack, *args) * 1e3))
 
-    # list/tile accounting for context
-    import numpy as np
+    # reneighbor decomposition: time each device phase standalone
+    from mdbench_tpu.ops.cluster import (
+        bin_clusters, build_cluster_pairs, build_clusters, derive_ilists,
+        make_j16_bboxes, setup_cluster_pbc, update_cluster_pbc,
+    )
 
-    rg = np.asarray(pairs.ranges)[:, 0, :]
-    tiles = int(np.maximum(rg[:, GROUP:2 * GROUP] - rg[:, :GROUP], 0).sum())
-    print("TILES active=%d padded_pairs=%d" % (tiles, tiles * 1024))
+    def ph_build(x_flat):
+        c, _ = build_clusters(sim.grid, x_flat, sim.nlocal,
+                              sim.n_clusters_pad, sim.ghost_cap, GROUP)
+        return c.xc
 
-    # reneighbor + full-step costs
+    def ph_pbc(x_flat):
+        c, _ = build_clusters(sim.grid, x_flat, sim.nlocal,
+                              sim.n_clusters_pad, sim.ghost_cap, GROUP)
+        h = setup_cluster_pbc(c, npad, npad, sim.ghost_cap, sim.prd,
+                              (1, 1, 1), p.cutneigh)
+        c = update_cluster_pbc(c, h, npad, True)
+        return c.xc
+
+    cl_full = cl  # post-reneighbor clusters (ghosts valid)
+
+    def ph_bin(xc, yc, zc):
+        c = cl_full._replace(xc=xc, yc=yc, zc=zc)
+        bb16 = make_j16_bboxes(c.bbox)
+        cells, bbc, _ = bin_clusters(sim.grid, bb16)
+        return cells
+
+    def ph_pairs(xc, yc, zc):
+        c = cl_full._replace(xc=xc, yc=yc, zc=zc)
+        pr = build_cluster_pairs(sim.grid,
+                                 *_bin(sim, c), c.bbox, npad, GROUP,
+                                 sim.list_cap)
+        return pr.jlist
+
+    def _bin(sim, c):
+        bb16 = make_j16_bboxes(c.bbox)
+        cells, bbc, _ = bin_clusters(sim.grid, bb16)
+        return cells, bbc
+
+    def ph_derive(xc, yc, zc):
+        c = cl_full._replace(xc=xc, yc=yc, zc=zc)
+        pr = derive_ilists(c, pairs, npad, GROUP, p.cutneigh, sim.icap)
+        return pr.ijlist
+
+    print("NEIGH build_clusters : %.3f ms" % (timeit(ph_build, sim.x_flat0) * 1e3))
+    print("NEIGH +pbc setup     : %.3f ms" % (timeit(ph_pbc, sim.x_flat0) * 1e3))
+    print("NEIGH bin_clusters   : %.3f ms" % (timeit(ph_bin, *args) * 1e3))
+    print("NEIGH +build_pairs   : %.3f ms" % (timeit(ph_pairs, *args) * 1e3))
+    print("NEIGH derive_ilists  : %.3f ms" % (timeit(ph_derive, *args) * 1e3))
+
+    # plain-step total (integrate + ghost refresh + force + integrate)
+    @jax.jit
+    def plain_reps(st0):
+        def body(stx, _):
+            stx, tp = sim._plain_step(stx, None)
+            return stx, ()
+        stx, _ = jax.lax.scan(body, st0, None, length=24)
+        return stx.vxc
+
+    r = plain_reps(st)
+    jax.block_until_ready(r)
+    fence(r)
+    import time as _t
+    best = float("inf")
+    for _ in range(3):
+        t0 = _t.perf_counter()
+        fence(plain_reps(st))
+        best = min(best, _t.perf_counter() - t0)
+    print("STEP plain (fused)   : %.3f ms" % ((best - tunnel_rtt()) / 24 * 1e3))
+
     t_force, t_neigh = sim.measure_phases(st)
     print("PHASES force=%.3f ms reneigh=%.3f ms (measure_phases)"
           % (t_force * 1e3, t_neigh * 1e3))

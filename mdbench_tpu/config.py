@@ -99,11 +99,12 @@ class Params:
     # (False — the reference prints only every nstat steps, and a full
     # velocity reduction each step costs ~0.5 ms on the tunnel)
     dense_thermo: bool = True
-    # Force-kernel backend (cluster scheme): "ilist" (exact per-i-cluster
-    # lists + fused XLA kernel — the measured fastest path on TPU, and
-    # pure XLA so it is also the CPU path), "xla" (group-shared-list XLA
-    # kernel), "pallas" (streaming Pallas kernel), "pallas_ds" /
-    # "pallas_mxu" (Pallas comparison twins). "auto" = "ilist".
+    # Force-kernel backend (cluster scheme): "ilist_pl" (exact shared
+    # lists + single-pass Pallas kernel — the TPU fast path), "ilist"
+    # (same lists, fused-XLA twin — the CPU/parity/typed path), "xla"
+    # (group-shared-list XLA kernel), "pallas" (streaming Pallas
+    # kernel), "pallas_ds" / "pallas_mxu" (Pallas comparison twins).
+    # "auto" = "ilist_pl" on TPU, "ilist" on CPU.
     kernel: str = "auto"
     # Tracing/profiling hooks (reference MEM_TRACER / INDEX_TRACER /
     # LIKWID, SURVEY §5.1): output path prefixes; empty = off

@@ -44,6 +44,7 @@ from mdbench_tpu.ops.cluster import (
 )
 from mdbench_tpu.ops.pallas.lj_cluster import (
     lj_cluster_force_pallas,
+    lj_cluster_force_ilist_pallas,
     lj_cluster_force_pallas_stream,
     lj_cluster_force_xla,
     lj_cluster_force_xla_half,
@@ -76,13 +77,13 @@ class CRunResult(NamedTuple):
 
 
 def _kernel_mode(params: Params) -> str:
-    """Resolve the kernel axis. "auto" -> "ilist" on every backend:
-    measured on TPU (PERF.md round 2) the exact per-i-cluster XLA path
-    beats all Pallas variants ~9x (0.6 ms vs 5.1-6.0 ms at 131k) because
-    the force is padded-pair-roofline-bound, and it is pure XLA so the
-    same program is the CPU-parity path."""
+    """Resolve the kernel axis. "auto" -> the exact-list path everywhere
+    (measured fastest by a wide margin on TPU, PERF.md round 2): the
+    Pallas single-pass form on TPU, the fused-XLA twin on CPU (Pallas
+    interpret mode is an emulator, not a fast path)."""
     if params.kernel == "auto":
-        return "ilist"
+        on_cpu = jax.devices()[0].platform == "cpu"
+        return "ilist" if on_cpu else "ilist_pl"
     return params.kernel
 
 
@@ -180,13 +181,25 @@ class ClusterSimulation:
         # cutneigh sphere dilated by typical cluster half-extents, /16
         # per j16 cluster, with headroom; calibrated down after the
         # first build and grown on overflow like every other capacity
-        r_eff = params.cutneigh + 0.5 * max(sx, sy) + 1.2
+        self._kmode = _kernel_mode(params)
+        self._ilist = (
+            self._kmode in ("ilist", "ilist_pl") and not params.half_neigh
+        )
+        # i-clusters sharing one exact list (derive_ilists share):
+        # measured on TPU, share=2 halves the row-issue-bound gather at
+        # an identical padded-pair count (z-adjacent i-clusters overlap
+        # almost completely in neighbors)
+        self.ishare = 2 if self._ilist else 1
+        zsp = 8.0 / (sx * sy * params.rho)  # one i-cluster's z-extent
+        r_eff = (
+            params.cutneigh + 0.5 * max(sx, sy) + 1.2
+            + (self.ishare - 1) * 0.5 * zsp
+        )
         self.icap = max(
             16,
             int(math.ceil(4.19 * r_eff**3 * params.rho / 16.0 * 1.35 / 8.0))
             * 8,
         )
-        self._ilist = _kernel_mode(params) == "ilist" and not params.half_neigh
 
         self._x0 = x
         self._v0 = v
@@ -263,7 +276,7 @@ class ClusterSimulation:
         if self._ilist:
             pairs = derive_ilists(
                 clusters, pairs, self.n_clusters_pad, GROUP,
-                p.cutneigh, self.icap,
+                p.cutneigh, self.icap, share=self.ishare,
             )
         iovf = pairs.iovf if pairs.iovf is not None else jnp.asarray(False)
         # selective overflow flags -> targeted growth in run()
@@ -317,11 +330,18 @@ class ClusterSimulation:
                 tables=self._tables_jnp if typed else None,
             )
         if self._ilist:
+            if self._kmode == "ilist_pl" and not typed:
+                return lj_cluster_force_ilist_pallas(
+                    clusters.xc, clusters.yc, clusters.zc, pairs.ijlist,
+                    self.n_clusters_pad, cutsq, p.sigma6, p.epsilon,
+                    share=self.ishare, interpret=self.interpret,
+                )
             return lj_cluster_force_xla_ilist(
                 clusters.xc, clusters.yc, clusters.zc, pairs.ijlist,
                 self.n_clusters_pad, cutsq, p.sigma6, p.epsilon,
                 tc=clusters.tc if typed else None,
                 tables=self._tables_jnp if typed else None,
+                share=self.ishare,
             )
         if _use_pallas(p):
             # "pallas" / "auto" -> streaming kernel (j-tiles pre-gathered
@@ -459,6 +479,7 @@ class ClusterSimulation:
                 pairs=derive_ilists(
                     state.clusters, state.pairs, self.n_clusters_pad,
                     GROUP, self.params.cutneigh, self.icap,
+                    share=self.ishare,
                 )
             )
         return state._replace(

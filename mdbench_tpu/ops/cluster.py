@@ -148,19 +148,20 @@ class ClusterPairList(NamedTuple):
     `ranges` packs per-member tile windows: [0:G) start tile, [G:2G) end
     tile, [2G] the group's tile-loop bound.
 
-    ijlist/nji (present on the kernel="ilist" path, else None): exact
-    per-i-cluster j16 lists derived from the group list by the exact
-    8x16 atom-distance check (the reference's atomDistanceInRange,
-    neighbor.c:262-436). Measured on the 131k workload these are 3-8x
-    tighter than group windows (mean 26 / max 31 j16 per i-cluster vs
-    ~42 windowed), which is what sets the force kernel's pair count."""
+    ijlist/nji (present on the kernel="ilist"/"ilist_pl" paths, else
+    None): exact per-i-unit j16 lists (an i-unit = `share` consecutive
+    i-clusters) derived from the group list by the exact atom-distance
+    check (the reference's atomDistanceInRange, neighbor.c:262-436).
+    Measured on the 131k workload these are 3-8x tighter than group
+    windows (mean 26 / max 31 j16 per i-cluster vs ~42 windowed), which
+    is what sets the force kernel's pair count."""
 
     jlist: jnp.ndarray  # (NG, 1, L) int32
     ranges: jnp.ndarray  # (NG, 1, 2*G+1) int32
     nj: jnp.ndarray  # (NG,) int32
     overflow: jnp.ndarray
-    ijlist: jnp.ndarray | None = None  # (NIC, icap) int32 j16 ids
-    nji: jnp.ndarray | None = None  # (NIC,) int32
+    ijlist: jnp.ndarray | None = None  # (NIC/share, icap) int32 j16 ids
+    nji: jnp.ndarray | None = None  # (NIC/share,) int32
     iovf: jnp.ndarray | None = None  # () bool — nji > icap anywhere
 
 
@@ -627,26 +628,33 @@ def derive_ilists(
     cutneigh: float,
     icap: int,
     chunk: int = 128,
+    share: int = 1,
 ) -> ClusterPairList:
-    """Exact per-i-cluster j16 lists, derived from the group-shared lists
+    """Exact per-i-unit j16 lists, derived from the group-shared lists
     by the exact minimum atom-atom distance check (the reference's
     atomDistanceInRange prune, src/clusterpair/neighbor.c:262-436, at
-    (8-atom i-cluster) x (16-atom j-cluster) granularity, against
+    (share*8-atom i-unit) x (16-atom j-cluster) granularity, against
     cutneigh so the list survives a reneighbor interval).
 
-    This feeds the `ilist` force kernel: measured on TPU, the force path
-    is VPU-roofline-bound by the PADDED pair count, and exact per-i
-    lists carry 3-8x fewer padded pairs than any group-shared layout
-    (PERF.md round 2). The exact check costs one force-equivalent pass
-    per rebuild — amortized over the reneighbor interval.
+    This feeds the `ilist` force kernels: measured on TPU, the force
+    path splits between the packed row GATHER (row-issue-bound,
+    ~400M rows/s regardless of width) and the VPU math (bound by PADDED
+    pair count). `share` consecutive z-sorted i-clusters sharing one
+    exact list trades those against each other: measured on the 131k
+    workload share=2 HALVES gather rows at an *identical* padded-pair
+    count (union max 39 vs per-i cap 40), because z-adjacent i-clusters
+    overlap almost completely in neighbors. share=4 quarters rows for
+    +40% pairs. The exact check costs one force-equivalent pass per
+    rebuild — amortized over the reneighbor interval.
 
     Kept entries preserve the group list's z-sorted order (compaction is
     a stable sort on the drop flag). Dropped/padding slots hold the
     sentinel j16 id, whose ~1e30 coordinates fail the cutoff in the
     kernel naturally."""
+    assert group % share == 0
+    gs_units = group // share
     ng, _, L = pairs.jlist.shape
     cjn = clusters.xc.shape[0] // 2
-    dtype = clusters.xc.dtype
     x16 = clusters.xc.reshape(cjn, 16)
     y16 = clusters.yc.reshape(cjn, 16)
     z16 = clusters.zc.reshape(cjn, 16)
@@ -666,14 +674,14 @@ def derive_ilists(
         xj = x16[jl]  # (chunk, L, 16)
         yj = y16[jl]
         zj = z16[jl]
-        xi = xi_all[gsafe].reshape(chunk, group, M, 1, 1)
-        yi = yi_all[gsafe].reshape(chunk, group, M, 1, 1)
-        zi = zi_all[gsafe].reshape(chunk, group, M, 1, 1)
+        xi = xi_all[gsafe].reshape(chunk, gs_units, share * M, 1, 1)
+        yi = yi_all[gsafe].reshape(chunk, gs_units, share * M, 1, 1)
+        zi = zi_all[gsafe].reshape(chunk, gs_units, share * M, 1, 1)
         dx = xi - xj.reshape(chunk, 1, 1, L, 16)
         dy = yi - yj.reshape(chunk, 1, 1, L, 16)
         dz = zi - zj.reshape(chunk, 1, 1, L, 16)
         rsq = dx * dx + dy * dy + dz * dz
-        mind = jnp.min(rsq, axis=(2, 4))  # (chunk, group, L)
+        mind = jnp.min(rsq, axis=(2, 4))  # (chunk, gs_units, L)
         keep = (mind <= cutsq) & (lpos[None, None, :] < nj_all[gsafe][:, None, None])
         nji = jnp.sum(keep, axis=2).astype(jnp.int32)
         # stable compaction: kept entries first, z order kept. A bitonic
@@ -689,8 +697,9 @@ def derive_ilists(
     ngpad = ((ng + chunk - 1) // chunk) * chunk
     starts = jnp.arange(0, ngpad, chunk, dtype=jnp.int32)
     ijls, njis = jax.lax.map(chunk_fn, starts)
-    ijlist = ijls.reshape(-1, icap)[: ng * group]
-    nji = njis.reshape(-1)[: ng * group]
+    n_units = n_clusters_pad // share
+    ijlist = ijls.reshape(-1, icap)[:n_units]
+    nji = njis.reshape(-1)[:n_units]
     return pairs._replace(
         ijlist=ijlist, nji=nji, iovf=jnp.any(nji > icap)
     )

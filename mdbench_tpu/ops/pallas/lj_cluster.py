@@ -653,50 +653,59 @@ def lj_cluster_force_xla(
     return fx, fy, fz
 
 
+def gather_ilist_rows(xc, yc, zc, ijlist, tc=None):
+    """ONE packed row gather for all coordinate planes of the exact
+    lists: measured 1.1 ms for a packed (783k rows x 48) fetch vs
+    ~4.5 ms as three per-plane gathers — the gather is ROW-ISSUE-bound
+    (~400M rows/s, byte width nearly free), so fewer+fatter rows win.
+    Returns (nic, icap, 48|64) with j16 cluster c's 16 atoms at
+    [:, :, p*16:(p+1)*16] for plane p."""
+    nic, icap = ijlist.shape
+    cjn = xc.shape[0] // 2
+    planes = [xc.reshape(cjn, 16), yc.reshape(cjn, 16), zc.reshape(cjn, 16)]
+    if tc is not None:
+        planes.append(tc.reshape(cjn, 16))
+    packed = jnp.concatenate(planes, axis=1)
+    return packed[ijlist.reshape(-1)].reshape(nic, icap, len(planes) * 16)
+
+
 def lj_cluster_force_xla_ilist(
     xc, yc, zc,  # (C_total, 8) coordinate planes
-    ijlist,  # (NIC, icap) int32 — exact per-i-cluster j16 ids
+    ijlist,  # (NIC/share, icap) int32 — exact per-i-unit j16 ids
     n_clusters_pad: int,
     cutforcesq, sigma6, epsilon,
     tc=None, tables=None,  # typed runs: type plane + (T,T) jnp tables
+    share: int = 1,  # i-clusters per shared list (derive_ilists share)
 ):
-    """Per-i-cluster exact-list LJ force — the fast path on TPU.
+    """Exact-list LJ force, fused XLA form — the CPU/parity twin of the
+    Pallas single-pass kernel (and the typed fast path).
 
-    Round-2 measurement (PERF.md): the force path is bound by PADDED
-    pair count at the VPU roofline (~130 G padded pairs/s f32), not by
-    gathers or kernel-language choice — a plain fused XLA program beats
-    every hand-written Pallas variant once the lists are tight. Exact
-    per-i-cluster lists (derive_ilists) carry ~80-100M padded pairs on
-    the 131k workload vs 240-660M for group-shared layouts: measured
-    0.6 ms/step vs 5.1-5.8 ms.
+    Round-2 measurement (PERF.md): tight exact lists beat every
+    group-windowed layout because the force path is bound by padded
+    pair count and gather rows, not kernel-language choice. This XLA
+    form pays one known inefficiency the Pallas twin removes: XLA emits
+    the three component reductions as three separate fusions, each
+    re-running the gf chain (~+2.3 ms at 131k).
 
     Reference anchor: per-cluster lists with the exact
     atomDistanceInRange prune (src/clusterpair/neighbor.c:176-436);
     the kernel itself is the computeForceLJ_4xn contraction
     (force_lj.c:613-936) expressed as one fused XLA elementwise+reduce
-    over (NIC, 8, icap*16)."""
-    nic, icap = ijlist.shape
-    assert nic == n_clusters_pad
-    cjn = xc.shape[0] // 2
-    # ONE packed row gather for all planes: measured 1.1 ms for the
-    # packed (783k rows x 48) fetch vs ~4.5 ms as three per-plane
-    # gathers (row-issue-bound, so fewer+fatter rows win)
-    planes = [xc.reshape(cjn, 16), yc.reshape(cjn, 16), zc.reshape(cjn, 16)]
-    if tables is not None:
-        planes.append(tc.reshape(cjn, 16))
-    packed = jnp.concatenate(planes, axis=1)
-    rows = packed[ijlist.reshape(-1)].reshape(nic, icap, len(planes) * 16)
-    xj = rows[:, :, 0:16].reshape(nic, 1, icap * 16)
-    yj = rows[:, :, 16:32].reshape(nic, 1, icap * 16)
-    zj = rows[:, :, 32:48].reshape(nic, 1, icap * 16)
-    xi = xc[:nic].reshape(nic, 8, 1)
-    yi = yc[:nic].reshape(nic, 8, 1)
-    zi = zc[:nic].reshape(nic, 8, 1)
+    over (NIC/share, share*8, icap*16)."""
+    nu, icap = ijlist.shape
+    assert nu * share == n_clusters_pad
+    rows = gather_ilist_rows(xc, yc, zc, ijlist, tc)
+    xj = rows[:, :, 0:16].reshape(nu, 1, icap * 16)
+    yj = rows[:, :, 16:32].reshape(nu, 1, icap * 16)
+    zj = rows[:, :, 32:48].reshape(nu, 1, icap * 16)
+    xi = xc[:n_clusters_pad].reshape(nu, share * 8, 1)
+    yi = yc[:n_clusters_pad].reshape(nu, share * 8, 1)
+    zi = zc[:n_clusters_pad].reshape(nu, share * 8, 1)
 
     if tables is not None:
         eps_t, sig6_t, cutsq_t = tables
-        ti = tc[:nic].reshape(nic, 8, 1).astype(jnp.int32)
-        tj = rows[:, :, 48:64].reshape(nic, 1, icap * 16).astype(jnp.int32)
+        ti = tc[:n_clusters_pad].reshape(nu, share * 8, 1).astype(jnp.int32)
+        tj = rows[:, :, 48:64].reshape(nu, 1, icap * 16).astype(jnp.int32)
         epsilon = eps_t[ti, tj]
         sigma6 = sig6_t[ti, tj]
         cutforcesq = cutsq_t[ti, tj]
@@ -710,10 +719,149 @@ def lj_cluster_force_xla_ilist(
     sr2 = 1.0 / rs
     sr6 = sr2 * sr2 * sr2 * sigma6
     gf = jnp.where(mask, 48.0 * epsilon * sr6 * (sr6 - 0.5) * sr2, 0.0)
-    fx = jnp.sum(dx * gf, axis=2)
-    fy = jnp.sum(dy * gf, axis=2)
-    fz = jnp.sum(dz * gf, axis=2)
+    fx = jnp.sum(dx * gf, axis=2).reshape(n_clusters_pad, 8)
+    fy = jnp.sum(dy * gf, axis=2).reshape(n_clusters_pad, 8)
+    fz = jnp.sum(dz * gf, axis=2).reshape(n_clusters_pad, 8)
     return fx, fy, fz
+
+
+ILIST_UNIT = 16  # i-clusters per Pallas grid step (= 128 output lanes)
+
+
+def _kernel_ilist(
+    xj_ref, yj_ref, zj_ref, xi_ref, yi_ref, zi_ref,
+    fx_ref, fy_ref, fz_ref, ax, ay, az,
+    *, share: int, W: int, cutforcesq: float, sigma6: float,
+    epsilon: float,
+):
+    """Single-pass exact-list force: for each i-cluster, the whole
+    (8, icap*16) pair tile is computed ONCE — distances, gf, and all
+    three component accumulations in one pass (the XLA twin re-runs the
+    chain per component, +40%). No windows, no pl.when, no dynamic
+    slices: the exact lists make every lane potentially live, so the
+    kernel is a straight-line VPU program at the padded-pair roofline.
+    Per-atom totals land in a (128,128) scratch and leave as one
+    lane-contracting ones-dot per component (sublane->lane relayout via
+    the MXU, same trick as _kernel_stream)."""
+    gb = ILIST_UNIT // share
+    nf = W // 128
+    for k in range(gb):
+        xj = xj_ref[k : k + 1, :]  # (1, W)
+        yj = yj_ref[k : k + 1, :]
+        zj = zj_ref[k : k + 1, :]
+        for ic in range(share):
+            i = k * share + ic
+            xi = xi_ref[i, :].reshape(8, 1)
+            yi = yi_ref[i, :].reshape(8, 1)
+            zi = zi_ref[i, :].reshape(8, 1)
+            dx = xi - xj
+            dy = yi - yj
+            dz = zi - zj
+            rsq = dx * dx + dy * dy + dz * dz
+            mask = (rsq < cutforcesq) & (rsq > 0.0)
+            rs = jnp.where(mask, rsq, 1.0)
+            sr2 = 1.0 / rs
+            sr6 = sr2 * sr2 * sr2 * sigma6
+            gf = jnp.where(mask, 48.0 * epsilon * sr6 * (sr6 - 0.5) * sr2, 0.0)
+            px = dx * gf
+            py = dy * gf
+            pz = dz * gf
+            fx = px[:, 0:128]
+            fy = py[:, 0:128]
+            fz = pz[:, 0:128]
+            for f in range(1, nf):  # fold W lanes -> 128 (static slices)
+                fx = fx + px[:, f * 128 : (f + 1) * 128]
+                fy = fy + py[:, f * 128 : (f + 1) * 128]
+                fz = fz + pz[:, f * 128 : (f + 1) * 128]
+            r0 = i * 8
+            ax[r0 : r0 + 8, :] = fx
+            ay[r0 : r0 + 8, :] = fy
+            az[r0 : r0 + 8, :] = fz
+
+    ones = jnp.ones((1, 128), ax.dtype)
+    dn = (((1,), (1,)), ((), ()))  # contract lanes: out[0,r] = sum_l ax[r,l]
+    row = pl.program_id(0) % 8  # revolving (1,8,128) output block
+    fx_ref[0, row, :] = jax.lax.dot_general(
+        ones, ax[:], dn, preferred_element_type=ax.dtype
+    )[0]
+    fy_ref[0, row, :] = jax.lax.dot_general(
+        ones, ay[:], dn, preferred_element_type=ay.dtype
+    )[0]
+    fz_ref[0, row, :] = jax.lax.dot_general(
+        ones, az[:], dn, preferred_element_type=az.dtype
+    )[0]
+
+
+def lj_cluster_force_ilist_pallas(
+    xc, yc, zc,  # (C_total, 8) coordinate planes
+    ijlist,  # (NIC/share, icap) int32 — exact per-i-unit j16 ids
+    n_clusters_pad: int,
+    cutforcesq: float, sigma6: float, epsilon: float,
+    share: int = 2,
+    interpret: bool = False,
+):
+    """Exact-list LJ force, Pallas single-pass form — the TPU fast path
+    (single-type; typed runs use the XLA twin). The per-step XLA gather
+    repacks the shared-list coordinate rows into dense planar
+    (NIC/share, icap*16) tiles; the kernel streams them via BlockSpec
+    with zero in-kernel dynamic slices and computes each pair tile once.
+    Returns (fxc, fyc, fzc) each (n_clusters_pad, 8)."""
+    nu, icap = ijlist.shape
+    assert nu * share == n_clusters_pad
+    assert ILIST_UNIT % share == 0
+    W = icap * 16
+    assert W % 128 == 0, "icap must be a multiple of 8"
+    nb = n_clusters_pad // ILIST_UNIT
+    assert nb * ILIST_UNIT == n_clusters_pad
+    assert nb % 8 == 0  # revolving 8-row output blocks
+    gb = ILIST_UNIT // share
+    dtype = xc.dtype
+
+    rows = gather_ilist_rows(xc, yc, zc, ijlist)
+    xjp = rows[:, :, 0:16].reshape(nu, W)
+    yjp = rows[:, :, 16:32].reshape(nu, W)
+    zjp = rows[:, :, 32:48].reshape(nu, W)
+
+    kern = functools.partial(
+        _kernel_ilist,
+        share=share, W=W,
+        cutforcesq=float(cutforcesq), sigma6=float(sigma6),
+        epsilon=float(epsilon),
+    )
+    xj_block = pl.BlockSpec((gb, W), lambda b: (b, 0), memory_space=pltpu.VMEM)
+    xi_block = pl.BlockSpec(
+        (ILIST_UNIT, 8), lambda b: (b, 0), memory_space=pltpu.VMEM
+    )
+    out_block = pl.BlockSpec(
+        (1, 8, 128), lambda b: (b // 8, 0, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=[xj_block, xj_block, xj_block, xi_block, xi_block, xi_block],
+        out_specs=[out_block, out_block, out_block],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb // 8, 8, 128), dtype),
+            jax.ShapeDtypeStruct((nb // 8, 8, 128), dtype),
+            jax.ShapeDtypeStruct((nb // 8, 8, 128), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((128, 128), dtype),
+            pltpu.VMEM((128, 128), dtype),
+            pltpu.VMEM((128, 128), dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(xjp, yjp, zjp, xc[:n_clusters_pad], yc[:n_clusters_pad],
+      zc[:n_clusters_pad])
+    fx, fy, fz = out
+    return (
+        fx.reshape(n_clusters_pad, 8),
+        fy.reshape(n_clusters_pad, 8),
+        fz.reshape(n_clusters_pad, 8),
+    )
 
 
 def lj_cluster_force_xla_half(

@@ -31,28 +31,34 @@ def test_ilist_trajectory_parity():
 
 def test_ilist_counts_match_exact_reference_count():
     """nji must equal the exact number of j16 clusters with any atom
-    within cutneigh of any atom of the i-cluster (the reference's
-    atomDistanceInRange semantics, neighbor.c:262-436)."""
+    within cutneigh of any atom of the i-UNIT (= `share` consecutive
+    i-clusters; the reference's atomDistanceInRange semantics,
+    neighbor.c:262-436)."""
     p = Params(precision="dp", kernel="ilist", nx=4, ny=4, nz=4)
     sim = ClusterSimulation(p)
     st = sim.initial_state()
     cl = st.clusters
-    npad = sim.n_clusters_pad
+    share = sim.ishare
     xc, yc, zc = (np.asarray(a) for a in (cl.xc, cl.yc, cl.zc))
     cjn = xc.shape[0] // 2
     x16 = np.stack([xc.reshape(cjn, 16), yc.reshape(cjn, 16),
                     zc.reshape(cjn, 16)], axis=2)  # (cjn, 16, 3)
     nji = np.asarray(st.pairs.nji)
     ijl = np.asarray(st.pairs.ijlist)
+    n_units = ijl.shape[0]
+    assert n_units * share == sim.n_clusters_pad
     cut2 = p.cutneigh**2
     rng = np.random.default_rng(7)
-    for ic in rng.choice(npad, size=24, replace=False):
-        xi = np.stack([xc[ic], yc[ic], zc[ic]], axis=1)  # (8, 3)
+    for iu in rng.choice(n_units, size=24, replace=False):
+        ics = range(iu * share, (iu + 1) * share)
+        xi = np.concatenate(
+            [np.stack([xc[ic], yc[ic], zc[ic]], axis=1) for ic in ics]
+        )  # (share*8, 3)
         real = np.abs(xi[:, 0]) < 1e29
         if not real.any():
-            assert nji[ic] == 0
+            assert nji[iu] == 0
             continue
-        # brute force: every j16 cluster within cutneigh of this cluster
+        # brute force: every j16 cluster within cutneigh of this unit
         d = xi[real][:, None, None, :] - x16[None]  # (m, cjn, 16, 3)
         rsq = (d * d).sum(3)
         inrange = (rsq.min(axis=(0, 2)) <= cut2)
@@ -60,8 +66,8 @@ def test_ilist_counts_match_exact_reference_count():
         # list is itself complete, so the exact set must match
         expect = set(np.nonzero(inrange)[0].tolist())
         # exclude all-sentinel j16 clusters (coords ~1e30 -> not in range)
-        got = set(ijl[ic, : nji[ic]].tolist())
-        assert got == expect, (ic, got ^ expect)
+        got = set(ijl[iu, : nji[iu]].tolist())
+        assert got == expect, (iu, got ^ expect)
 
 
 def test_ilist_entries_sentinel_padded():

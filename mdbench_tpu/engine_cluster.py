@@ -289,7 +289,10 @@ class ClusterSimulation:
     def _flatten(self, state: CStepState):
         """Gather cluster state back to flat atom arrays via the inverse
         map (reference updateSingleAtoms, neighbor.c:1023-1049; gather
-        instead of scatter — 2-D scatters are pathological on TPU)."""
+        instead of scatter — 2-D scatters are pathological on TPU).
+        (A/B note: packing all six planes into one (n, 6) row gather
+        measured SLOWER than six element gathers — the narrow stack
+        relayout costs more than the saved gather issues.)"""
         inv = state.clusters.inv_map  # (nlocal,) -> cluster*8+slot
         nrows = self.nlocal + 1
         dtype = state.clusters.xc.dtype
@@ -440,6 +443,99 @@ class ClusterSimulation:
             (t, pr),
         )
 
+    def _reneigh_step_cheap(self, state: CStepState):
+        """List rebuild WITHOUT re-clustering: atom->cluster membership
+        is kept between resort_every boundaries, so the flatten +
+        sort + re-cluster + velocity-regather glue (~8 ms of the 40 ms
+        rebuild at 131k) is skipped; only bboxes, ghosts, bins, pair
+        lists, and the exact per-unit lists are rebuilt from CURRENT
+        coordinates. Physics stays exact — only list tightness decays
+        as clusters diffuse, and the periodic full resort restores it.
+        This splits the reference's sortAtom-vs-buildNeighbor cadence
+        (verletlist/neighbor.c:360-426 resorts on its own interval) the
+        same way, TPU-first. PBC wrap is cluster-granular here: the
+        whole 8-atom cluster shifts by a box period when its bbox
+        midpoint exits (atom-granular wrap would tear clusters apart);
+        atoms can thus sit slightly outside the box, exactly like the
+        reference's atoms between its own wrap points."""
+        p = self.params
+        npad = self.n_clusters_pad
+        dt, dtf = p.dt, self.dtforce
+        vxc = state.vxc + dtf * state.fxc
+        vyc = state.vyc + dtf * state.fyc
+        vzc = state.vzc + dtf * state.fzc
+        cl = state.clusters
+        xc = cl.xc.at[:npad].add(dt * vxc)
+        yc = cl.yc.at[:npad].add(dt * vyc)
+        zc = cl.zc.at[:npad].add(dt * vzc)
+
+        with jax.named_scope("reneighbor"):
+            bbox_l = compute_bboxes(xc[:npad], yc[:npad], zc[:npad])
+            prd = jnp.asarray(self.prd, xc.dtype)
+            pbc_on = jnp.asarray(
+                [p.pbc_x, p.pbc_y, p.pbc_z], xc.dtype
+            )
+            # wrap at j16-PAIR granularity: shifting one 8-cluster of a
+            # pair without its partner would blow the j16 bbox up to the
+            # box size (same invariant the pair-granular ghost halo
+            # protects — setup_cluster_pbc docstring)
+            bb16_l = make_j16_bboxes(bbox_l)
+
+            def wrap_shift(lo, hi, L, on):
+                mid = 0.5 * (lo + hi)
+                return jnp.repeat(-L * jnp.floor(mid / L) * on, 2)
+
+            shx = wrap_shift(bb16_l[:, 0], bb16_l[:, 1], prd[0], pbc_on[0])
+            shy = wrap_shift(bb16_l[:, 2], bb16_l[:, 3], prd[1], pbc_on[1])
+            shz = wrap_shift(bb16_l[:, 4], bb16_l[:, 5], prd[2], pbc_on[2])
+            xc = xc.at[:npad].add(shx[:, None])
+            yc = yc.at[:npad].add(shy[:, None])
+            zc = zc.at[:npad].add(shz[:, None])
+            sh8 = jnp.stack(
+                [shx, shx, shy, shy, shz, shz,
+                 jnp.zeros_like(shx), jnp.zeros_like(shx)], axis=1
+            )
+            bbox = cl.bbox.at[:npad].set(bbox_l + sh8)
+            cl = cl._replace(xc=xc, yc=yc, zc=zc, bbox=bbox)
+
+            halo = setup_cluster_pbc(
+                cl, npad, npad, self.ghost_cap, self.prd,
+                (p.pbc_x, p.pbc_y, p.pbc_z), p.cutneigh,
+            )
+            cl = update_cluster_pbc(cl, halo, npad, update_bbox=True)
+            bbox16 = make_j16_bboxes(cl.bbox)
+            cells, bb_cells, (ovf_bcap, ovf_zext) = bin_clusters(
+                self.grid, bbox16
+            )
+            pairs = build_cluster_pairs(
+                self.grid, cells, bb_cells, cl.bbox, npad, GROUP,
+                self.list_cap,
+            )
+            if self._ilist:
+                pairs = derive_ilists(
+                    cl, pairs, npad, GROUP, p.cutneigh, self.icap,
+                    share=self.ishare,
+                )
+            iovf = pairs.iovf if pairs.iovf is not None else jnp.asarray(False)
+            ovf = jnp.stack([
+                jnp.asarray(False), halo.overflow, ovf_bcap, ovf_zext,
+                pairs.overflow[0], pairs.overflow[1], iovf,
+            ])
+
+        fxc, fyc, fzc = self._force_from(cl, pairs)
+        vxc = vxc + dtf * fxc
+        vyc = vyc + dtf * fyc
+        vzc = vzc + dtf * fzc
+        t, pr = self._thermo(vxc, vyc, vzc)
+        return (
+            CStepState(
+                clusters=cl, vxc=vxc, vyc=vyc, vzc=vzc,
+                fxc=fxc, fyc=fyc, fzc=fzc, halo=halo, pairs=pairs,
+                overflow=state.overflow | ovf,
+            ),
+            (t, pr),
+        )
+
     def _thermo(self, vxc, vyc, vzc):
         vsq = (
             jnp.sum(vxc * vxc) + jnp.sum(vyc * vyc) + jnp.sum(vzc * vzc)
@@ -495,11 +591,12 @@ class ClusterSimulation:
         tail = ntimes - n_intervals * every
         prune = self.params.prune_every
         prune = prune if (prune and 0 < prune < every) else 0
+        resort = self.params.resort_every
 
         def plain_steps(state, n):
             return jax.lax.scan(self._plain_step, state, None, length=n)
 
-        def interval(state, _):
+        def interval(state, full: bool):
             if prune:
                 tps = []
                 done = 0
@@ -515,22 +612,41 @@ class ClusterSimulation:
                 )
             else:
                 state, tp_a = plain_steps(state, every - 1)
-            state, tp_b = self._reneigh_step(state)
+            if full:
+                state, tp_b = self._reneigh_step(state)
+            else:
+                state, tp_b = self._reneigh_step_cheap(state)
             tp = jax.tree_util.tree_map(
                 lambda a, b: jnp.concatenate([a, b[None]]), tp_a, tp_b
             )
             return state, tp
 
-        def run(state):
-            if n_intervals > 0:
-                state, tps = jax.lax.scan(
-                    interval, state, None, length=n_intervals
-                )
-                temps = tps[0].reshape(-1)
-                press = tps[1].reshape(-1)
+        # resort cadence: interval i ends at step (i+1)*every; the full
+        # re-cluster (sortAtom analogue) fires only when that step hits
+        # a resort_every boundary, every other rebuild is the cheap
+        # fixed-membership one. Consecutive same-kind intervals roll up
+        # into one lax.scan (the program stays small).
+        full_flags = [
+            bool(resort > 0 and ((i + 1) * every) % resort == 0)
+            for i in range(n_intervals)
+        ]
+        segments = []  # (full: bool, count: int)
+        for f in full_flags:
+            if segments and segments[-1][0] == f:
+                segments[-1][1] += 1
             else:
-                temps = jnp.zeros((0,), state.vxc.dtype)
-                press = jnp.zeros((0,), state.vxc.dtype)
+                segments.append([f, 1])
+
+        def run(state):
+            temps = jnp.zeros((0,), state.vxc.dtype)
+            press = jnp.zeros((0,), state.vxc.dtype)
+            for f, count in segments:
+                state, tps = jax.lax.scan(
+                    lambda s, _, f=f: interval(s, f), state, None,
+                    length=count,
+                )
+                temps = jnp.concatenate([temps, tps[0].reshape(-1)])
+                press = jnp.concatenate([press, tps[1].reshape(-1)])
             if tail:
                 state, tp_t = jax.lax.scan(
                     self._plain_step, state, None, length=tail
@@ -628,6 +744,9 @@ class ClusterSimulation:
                 ),
                 slop_z=(
                     self.grid.slop_z * 1.5 if flags[3] else self.grid.slop_z
+                ),
+                slop_xy=(
+                    self.grid.slop_xy * 1.5 if flags[3] else self.grid.slop_xy
                 ),
                 zspan_factor=(
                     self.grid.zspan_factor * 1.3

@@ -55,6 +55,13 @@ class ClusterGrid(NamedTuple):
     zspan_factor: float  # group z-extent headroom over the mean
     prd: tuple
     cutneigh: float
+    # assumed max xy half-extent EXCESS over col_size/2 (checked):
+    # full rebuilds chop clusters inside one column so the excess is 0
+    # by construction, but between resorts (cheap rebuilds,
+    # engine_cluster._reneigh_step_cheap) atoms vibrate past their
+    # column edge; in a solid the amplitude is Lindemann-bounded
+    # (~0.15 sigma), so a skin-sized margin covers any resort interval
+    slop_xy: float = 0.35
 
     @property
     def nbins(self) -> int:
@@ -65,6 +72,7 @@ class ClusterGrid(NamedTuple):
 def make_cluster_grid(
     prd, cutneigh: float, rho: float, group: int,
     bin_capacity: int = 0, slop_z: float = 0.0, zspan_factor: float = 1.4,
+    slop_xy: float = 0.35,
 ) -> ClusterGrid:
     ncx = max(1, int(math.floor(prd[0] / cutneigh)))
     ncy = max(1, int(math.floor(prd[1] / cutneigh)))
@@ -95,8 +103,8 @@ def make_cluster_grid(
         span = extent + 2.0 * (c + slop)
         return min(int(math.ceil(span / binsize)) + 1, maxdim)
 
-    wx = win(sx, cutneigh, sx / 2, sx, bin_dims[0])
-    wy = win(sy, cutneigh, sy / 2, sy, bin_dims[1])
+    wx = win(sx, cutneigh, sx / 2 + slop_xy, sx, bin_dims[0])
+    wy = win(sy, cutneigh, sy / 2 + slop_xy, sy, bin_dims[1])
     wz = win(zspan, cutneigh, slop_z, sz, bin_dims[2])
     return ClusterGrid(
         col_dims=(ncx, ncy),
@@ -109,6 +117,7 @@ def make_cluster_grid(
         zspan_factor=zspan_factor,
         prd=tuple(prd),
         cutneigh=cutneigh,
+        slop_xy=slop_xy,
     )
 
 
@@ -337,20 +346,23 @@ def setup_cluster_pbc(
     overflow = nghost > gcap16
     pos = jnp.where(flat & (pos < gcap16), pos, gcap16)
 
-    cl_ids = jnp.broadcast_to(
-        jnp.arange(n16, dtype=jnp.int32)[:, None], (n16, 26)
-    ).reshape(-1)
-    shift_vec = jnp.broadcast_to(
-        (sh.astype(dtype) * jnp.asarray(prd_v, dtype))[None],
-        (n16, 26, 3),
-    ).reshape(-1, 3)
-
+    # ONE scatter of the packed candidate index (cluster*26 + shift);
+    # border_map and the shift vectors unpack from it with cheap
+    # gathers. Dynamic-index scatters run at ~0.14G elts/s on TPU
+    # (PERF.md round 2) — the four separate scatters this replaces were
+    # ~5 ms of the rebuild at 131k.
+    cand = jnp.arange(n16 * 26, dtype=jnp.int32)
     sentinel16 = clusters.xc.shape[0] // 2 - 1
-    border_map = jnp.full((gcap16,), sentinel16, jnp.int32)
-    border_map = border_map.at[pos].set(cl_ids, mode="drop")
-    sxv = jnp.zeros((gcap16,), dtype).at[pos].set(shift_vec[:, 0], mode="drop")
-    syv = jnp.zeros((gcap16,), dtype).at[pos].set(shift_vec[:, 1], mode="drop")
-    szv = jnp.zeros((gcap16,), dtype).at[pos].set(shift_vec[:, 2], mode="drop")
+    packed = jnp.full((gcap16 + 1,), sentinel16 * 26, jnp.int32)
+    packed = packed.at[pos].set(cand, mode="drop")[:gcap16]
+    border_map = packed // 26
+    sidx = packed - border_map * 26
+    shift_tab = jnp.asarray(
+        shifts.astype(np.float64) * prd_v[None, :], dtype
+    )
+    sxv = shift_tab[sidx, 0]
+    syv = shift_tab[sidx, 1]
+    szv = shift_tab[sidx, 2]
     return ClusterHalo(
         border_map=border_map, shift_x=sxv, shift_y=syv, shift_z=szv,
         nghost=nghost, overflow=overflow,
@@ -421,8 +433,14 @@ def bin_clusters(grid: ClusterGrid, bb: jnp.ndarray):
     invalid = ~(bb[:, 0] < SENTINEL_COORD * 0.25)  # NaN-safe
     ids = jnp.where(invalid, grid.nbins, flat)
     # the pair search assumes every cluster's z half-extent <= slop_z
+    # and xy half-extent <= col_size/2 + slop_xy (between resorts,
+    # drifted clusters can exceed the by-construction column bound)
     z_ext_ok = jnp.where(
-        invalid, True, 0.5 * (bb[:, 5] - bb[:, 4]) <= grid.slop_z
+        invalid,
+        True,
+        (0.5 * (bb[:, 5] - bb[:, 4]) <= grid.slop_z)
+        & (0.5 * (bb[:, 1] - bb[:, 0]) <= size[0] / 2 + grid.slop_xy)
+        & (0.5 * (bb[:, 3] - bb[:, 2]) <= size[1] / 2 + grid.slop_xy),
     )
 
     nrows = bb.shape[0]
@@ -444,13 +462,12 @@ def bin_clusters(grid: ClusterGrid, bb: jnp.ndarray):
     )
     cells = jnp.full(((grid.nbins + 1) * grid.bin_capacity,), sentinel, jnp.int32)
     cells = cells.at[pos].set(order.astype(jnp.int32), mode="drop")
-    # bbox table aligned with `cells`; empty slots get a far-away box
-    # so the gap test excludes them without the id check
-    fill = jnp.full((8,), SENTINEL_COORD, bb.dtype)
-    bb_cells = jnp.broadcast_to(
-        fill, ((grid.nbins + 1) * grid.bin_capacity, 8)
-    )
-    bb_cells = bb_cells.at[pos].set(bb[order], mode="drop")
+    # bbox table aligned with `cells`, built by GATHER through the id
+    # table (an 8-wide row scatter here measured ~2 ms at 131k; the
+    # gather is ~free). Empty slots hold the sentinel row's empty bbox
+    # (lo=+1e30, hi=-1e30), which the gap test excludes without an id
+    # check.
+    bb_cells = bb[cells]
     return (
         cells.reshape(grid.nbins + 1, grid.bin_capacity),
         bb_cells.reshape(grid.nbins + 1, grid.bin_capacity, 8),
@@ -502,7 +519,8 @@ def build_cluster_pairs(
     # binning is by center, so a j bbox reaches half-extent outside its
     # bin; xy half-extent <= col_size/2, z half-extent <= slop_z, checked
     # in bin_clusters)
-    slop = (size[0] / 2, size[1] / 2, grid.slop_z)
+    slop = (size[0] / 2 + grid.slop_xy, size[1] / 2 + grid.slop_xy,
+            grid.slop_z)
     offs = np.array(
         [
             ((ox * dims[1]) + oy) * dims[2] + oz

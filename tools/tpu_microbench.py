@@ -141,7 +141,16 @@ def kernel_ab(quick=False):
 
     def f_ilist(xc, yc, zc):
         return lj_cluster_force_xla_ilist(
-            xc, yc, zc, pairs.ijlist, npad, cutsq, p.sigma6, p.epsilon)
+            xc, yc, zc, pairs.ijlist, npad, cutsq, p.sigma6, p.epsilon,
+            share=sim.ishare)
+
+    def f_ilist_pl(xc, yc, zc):
+        from mdbench_tpu.ops.pallas.lj_cluster import (
+            lj_cluster_force_ilist_pallas,
+        )
+        return lj_cluster_force_ilist_pallas(
+            xc, yc, zc, pairs.ijlist, npad, cutsq, p.sigma6, p.epsilon,
+            share=sim.ishare)
 
     def f_xla(xc, yc, zc):
         return lj_cluster_force_xla(
@@ -159,6 +168,7 @@ def kernel_ab(quick=False):
     args = (cl.xc, cl.yc, cl.zc)
     print("FORCE ilist  : %.3f ms (%.0fM padded pairs)"
           % (timeit(f_ilist, *args) * 1e3, npad * 8 * sim.icap * 16 / 1e6))
+    print("FORCE ilistpl: %.3f ms" % (timeit(f_ilist_pl, *args) * 1e3))
     if not quick:
         print("FORCE xla    : %.3f ms (%.0fM padded pairs)"
               % (timeit(f_xla, *args) * 1e3,
@@ -207,7 +217,8 @@ def kernel_ab(quick=False):
 
     def ph_derive(xc, yc, zc):
         c = cl_full._replace(xc=xc, yc=yc, zc=zc)
-        pr = derive_ilists(c, pairs, npad, GROUP, p.cutneigh, sim.icap)
+        pr = derive_ilists(c, pairs, npad, GROUP, p.cutneigh, sim.icap,
+                           share=sim.ishare)
         return pr.ijlist
 
     print("NEIGH build_clusters : %.3f ms" % (timeit(ph_build, sim.x_flat0) * 1e3))

@@ -272,6 +272,7 @@ class ClusterSimulation:
         pairs = build_cluster_pairs(
             self.grid, cells, bb_cells, clusters.bbox,
             self.n_clusters_pad, GROUP, self.list_cap,
+            need_ranges=not self._ilist,
         )
         if self._ilist:
             pairs = derive_ilists(
@@ -509,7 +510,7 @@ class ClusterSimulation:
             )
             pairs = build_cluster_pairs(
                 self.grid, cells, bb_cells, cl.bbox, npad, GROUP,
-                self.list_cap,
+                self.list_cap, need_ranges=not self._ilist,
             )
             if self._ilist:
                 pairs = derive_ilists(
@@ -665,8 +666,13 @@ class ClusterSimulation:
         the gather ~proportionally. Returns True if shrunk (caller
         rebuilds the state; later growth is handled by the normal
         overflow-retry)."""
-        njg = np.asarray(state0.pairs.ranges)[:, 0, 2 * GROUP]
-        need = int(njg.max()) * 8
+        if self._ilist:
+            # ranges are not built on the exact-list path; the group
+            # list length itself bounds the needed capacity
+            need = int(np.asarray(state0.pairs.nj).max())
+        else:
+            njg = np.asarray(state0.pairs.ranges)[:, 0, 2 * GROUP]
+            need = int(njg.max()) * 8
         tight = max((int(need * 1.25) + 7) // 8 * 8, 32)
         shrunk = False
         if tight < self.list_cap:

@@ -466,8 +466,15 @@ def bin_clusters(grid: ClusterGrid, bb: jnp.ndarray):
     # table (an 8-wide row scatter here measured ~2 ms at 131k; the
     # gather is ~free). Empty slots hold the sentinel row's empty bbox
     # (lo=+1e30, hi=-1e30), which the gap test excludes without an id
-    # check.
-    bb_cells = bb[cells]
+    # check. The cluster ID rides in pad slot 6 of each bbox row
+    # (float-exact below 2^24), so the pair search's candidate fetch is
+    # ONE by-bin-row gather instead of two (ids + bboxes were ~1.6 ms
+    # each at 131k — row gathers are issue-bound). The barrier forces
+    # the table to MATERIALIZE: without it XLA composes this gather
+    # with build_cluster_pairs' bb_cells[cand_bins] gather into
+    # per-cluster row gathers — 8x the gather rows, ~+10 ms/rebuild.
+    bb_id = bb.at[:, 6].set(jnp.arange(nrows, dtype=bb.dtype))
+    bb_cells = jax.lax.optimization_barrier(bb_id[cells])
     return (
         cells.reshape(grid.nbins + 1, grid.bin_capacity),
         bb_cells.reshape(grid.nbins + 1, grid.bin_capacity, 8),
@@ -484,6 +491,7 @@ def build_cluster_pairs(
     group: int,
     list_capacity: int,
     chunk: int = 256,
+    need_ranges: bool = True,
 ) -> ClusterPairList:
     """Shared j16-cluster list per group of `group` consecutive
     i-clusters (reference buildNeighbor, neighbor.c:176-436, re-shaped:
@@ -562,19 +570,28 @@ def build_cluster_pairs(
 
         base = (bx0 * dims[1] + by0) * dims[2] + bz0  # (chunk,)
         cand_bins = base[:, None] + offs_j[None, :]  # (chunk, Wx*Wy*Wz)
-        cand = cells[cand_bins].reshape(chunk, -1)  # (chunk, ncand)
+        nwin = offs.shape[0]
 
-        # bbox gather by BIN ROW: (chunk, nwin) rows of (cap, 8) — far
-        # fewer (and fatter) gather rows than per-cluster (chunk, ncand)
-        cb = bb_cells[cand_bins].reshape(chunk, -1, 8)
+        # bbox+id gather by FLAT BIN ROW (cap*8 floats): measured A/B at
+        # 131k per rebuild — flat rows + the 4-D transpose run at
+        # ~1.5 ns/row (1.7 ms total) vs 16 ms for (cap, 8)-shaped slice
+        # rows + a 3-D transpose (two minor dims wreck both the gather
+        # and the relayout). The id rides in pad slot 6, so no separate
+        # id gather. End state: components planar on (chunk, 8, ncand)
+        # — the gap test runs at full lane occupancy.
+        g = bb_cells.reshape(-1, cap * 8)[cand_bins]
+        cbT = jnp.transpose(
+            g.reshape(chunk, nwin, cap, 8), (0, 3, 1, 2)
+        ).reshape(chunk, 8, nwin * cap)
+
         # bbox-to-bbox distance vs group bbox
         def gap(lo_i, hi_i, lo_j, hi_j):
             return jnp.maximum(
                 0.0, jnp.maximum(lo_i[:, None] - hi_j, lo_j - hi_i[:, None])
             )
-        dx = gap(mnx, mxx, cb[:, :, 0], cb[:, :, 1])
-        dy = gap(mny, mxy, cb[:, :, 2], cb[:, :, 3])
-        dz = gap(mnz, mxz, cb[:, :, 4], cb[:, :, 5])
+        dx = gap(mnx, mxx, cbT[:, 0], cbT[:, 1])
+        dy = gap(mny, mxy, cbT[:, 2], cbT[:, 3])
+        dz = gap(mnz, mxz, cbT[:, 4], cbT[:, 5])
         dsq = dx * dx + dy * dy + dz * dz
         keep = (dsq <= cutsq) & real[:, None]  # empty slots fail dsq
 
@@ -585,10 +602,26 @@ def build_cluster_pairs(
         # range — per-cluster pruning with group-amortized loads (the
         # TPU answer to the reference's per-cluster lists + imasks).
         # zmax rides along so the start bound can be exact (below).
-        zmin_j = jnp.where(keep, cb[:, :, 4], SENTINEL_COORD)
-        zmax_j = jnp.where(keep, cb[:, :, 5], SENTINEL_COORD)
+        # With need_ranges=False (exact-list kernels ignore windows),
+        # zmax stays out of the sort: each operand costs ~30% of the
+        # 6k-wide bitonic.
+        cand = cbT[:, 6].astype(jnp.int32)  # ids from pad slot 6
+        zmin_j = jnp.where(keep, cbT[:, 4], SENTINEL_COORD)
+        # is_stable=False everywhere: stability adds an iota operand to
+        # the bitonic (~30% of the widest sort in the rebuild); ties
+        # only occur between dropped/sentinel entries
+        if not need_ranges:
+            zs, jl_sorted = jax.lax.sort(
+                (zmin_j, cand), num_keys=1, is_stable=False
+            )
+            jl = jl_sorted[:, :list_capacity]
+            ranges = jnp.zeros((chunk, 2 * group + 1), jnp.int32)
+            ovf_nj = jnp.any(nj > list_capacity)
+            ovf_cov = jnp.any(~covered)
+            return jl, ranges, nj, ovf_nj, ovf_cov
+        zmax_j = jnp.where(keep, cbT[:, 5], SENTINEL_COORD)
         zs, zx_sorted, jl_sorted = jax.lax.sort(
-            (zmin_j, zmax_j, cand.astype(jnp.int32)), num_keys=1
+            (zmin_j, zmax_j, cand), num_keys=1, is_stable=False
         )
         jl = jl_sorted[:, :list_capacity]
         zs = zs[:, :list_capacity]
@@ -689,17 +722,25 @@ def derive_ilists(
         gs = g0 + jnp.arange(chunk, dtype=jnp.int32)
         gsafe = jnp.where(gs < ng, gs, 0)
         jl = jl_all[gsafe]  # (chunk, L)
-        xj = x16[jl]  # (chunk, L, 16)
-        yj = y16[jl]
-        zj = z16[jl]
-        xi = xi_all[gsafe].reshape(chunk, gs_units, share * M, 1, 1)
-        yi = yi_all[gsafe].reshape(chunk, gs_units, share * M, 1, 1)
-        zi = zi_all[gsafe].reshape(chunk, gs_units, share * M, 1, 1)
-        dx = xi - xj.reshape(chunk, 1, 1, L, 16)
-        dy = yi - yj.reshape(chunk, 1, 1, L, 16)
-        dz = zi - zj.reshape(chunk, 1, 1, L, 16)
+        # lane-layout note: j-atoms are FLATTENED onto the lane axis
+        # (L*16 lanes) and i-atoms sit on sublanes — the naive
+        # (..., L, 16) shape leaves 16 of 128 lanes live and measured
+        # 16 ms at 131k; this layout + two-stage min runs the same math
+        # at full lane occupancy
+        xj = x16[jl].reshape(chunk, 1, 1, L * 16)
+        yj = y16[jl].reshape(chunk, 1, 1, L * 16)
+        zj = z16[jl].reshape(chunk, 1, 1, L * 16)
+        xi = xi_all[gsafe].reshape(chunk, gs_units, share * M, 1)
+        yi = yi_all[gsafe].reshape(chunk, gs_units, share * M, 1)
+        zi = zi_all[gsafe].reshape(chunk, gs_units, share * M, 1)
+        dx = xi - xj
+        dy = yi - yj
+        dz = zi - zj
         rsq = dx * dx + dy * dy + dz * dz
-        mind = jnp.min(rsq, axis=(2, 4))  # (chunk, gs_units, L)
+        mina = jnp.min(rsq, axis=2)  # over i-atoms -> (chunk, u, L*16)
+        mind = jnp.min(
+            mina.reshape(chunk, gs_units, L, 16), axis=3
+        )  # per-j16 minor-dim min -> (chunk, gs_units, L)
         keep = (mind <= cutsq) & (lpos[None, None, :] < nj_all[gsafe][:, None, None])
         nji = jnp.sum(keep, axis=2).astype(jnp.int32)
         # stable compaction: kept entries first, z order kept. A bitonic
@@ -708,7 +749,11 @@ def derive_ilists(
         # (dynamic-index scatter lowering)
         key = jnp.where(keep, lpos, L + lpos)
         jlb = jnp.broadcast_to(jl[:, None, :], keep.shape)
-        sk, sj = jax.lax.sort((key, jlb), num_keys=1, dimension=2)
+        # keys are distinct positions, so an unstable sort is already
+        # deterministic (is_stable would add an iota operand)
+        sk, sj = jax.lax.sort(
+            (key, jlb), num_keys=1, dimension=2, is_stable=False
+        )
         ijl = jnp.where(sk[:, :, :icap] < L, sj[:, :, :icap], sentinel16)
         return ijl, nji
 

@@ -52,6 +52,11 @@ def compute_cluster_stats(
     import jax
     import jax.numpy as jnp
 
+    if pairs.ijlist is not None:
+        return _compute_ilist_stats(
+            clusters, pairs, n_clusters_pad, cutforcesq, cutneighsq
+        )
+
     ng, _, L = pairs.jlist.shape
     xc, yc, zc = clusters.xc, clusters.yc, clusters.zc
     cjn = xc.shape[0] // 2
@@ -118,6 +123,73 @@ def compute_cluster_stats(
         clusters_processed=int(np.asarray(cp.sum())),
         tiles=tiles,
         padded_pairs=tiles * 1024,
+    )
+
+
+def _compute_ilist_stats(
+    clusters, pairs, n_clusters_pad: int,
+    cutforcesq: float, cutneighsq: float, chunk: int = 256,
+) -> dict:
+    """Exact counters for the exact-list (kernel=ilist*) path: the
+    kernel processes every (i-unit row, listed j16) pair tile, so the
+    processed/real/within-cutoff counts come from ijlist/nji directly
+    (reference clusterpair/stats.c:26-85 semantics at unit
+    granularity)."""
+    import jax
+    import jax.numpy as jnp
+
+    ijl = pairs.ijlist
+    nji = np.asarray(pairs.nji)
+    nu, icap = ijl.shape
+    share = n_clusters_pad // nu
+    xc, yc, zc = clusters.xc, clusters.yc, clusters.zc
+    cjn = xc.shape[0] // 2
+    x16 = xc.reshape(cjn, 16)
+    y16 = yc.reshape(cjn, 16)
+    z16 = zc.reshape(cjn, 16)
+    W = icap * 16
+    lane_live = (
+        jnp.arange(W, dtype=jnp.int32)[None, :] // 16
+        < jnp.asarray(pairs.nji)[:, None]
+    )  # (nu, W) — listed (vs padding) lanes
+
+    def chunk_fn(u0):
+        us = u0 + jnp.arange(chunk, dtype=jnp.int32)
+        usafe = jnp.where(us < nu, us, 0)
+        real_u = (us < nu)[:, None, None]
+        jl = ijl[usafe]
+        xj = x16[jl].reshape(chunk, 1, W)
+        yj = y16[jl].reshape(chunk, 1, W)
+        zj = z16[jl].reshape(chunk, 1, W)
+        rows = usafe[:, None] * (share * 8) + jnp.arange(
+            share * 8, dtype=jnp.int32)[None, :]
+        xi = xc[:n_clusters_pad].reshape(-1)[rows][:, :, None]
+        yi = yc[:n_clusters_pad].reshape(-1)[rows][:, :, None]
+        zi = zc[:n_clusters_pad].reshape(-1)[rows][:, :, None]
+        dx = xi - xj
+        dy = yi - yj
+        dz = zi - zj
+        rsq = dx * dx + dy * dy + dz * dz
+        live = lane_live[usafe][:, None, :] & real_u
+        nonself = rsq > 0.0
+        in_force = live & nonself & (rsq < cutforcesq)
+        in_neigh = live & nonself & (rsq < cutneighsq)
+        cf = in_force.reshape(chunk, share * 8, icap, 16)
+        cl_any = jnp.any(jnp.any(cf, axis=3), axis=1)  # (chunk, icap)
+        return (jnp.sum(in_force), jnp.sum(in_neigh),
+                jnp.sum(cl_any))
+
+    nupad = (nu + chunk - 1) // chunk * chunk
+    starts = jnp.arange(0, nupad, chunk, dtype=jnp.int32)
+    pf, pn, ci = jax.lax.map(jax.jit(chunk_fn), starts)
+    cl_proc = int(nji.sum())
+    return dict(
+        pairs_within_cutforce=int(np.asarray(pf.sum())),
+        pairs_within_cutneigh=int(np.asarray(pn.sum())),
+        clusters_within_cutoff=int(np.asarray(ci.sum())),
+        clusters_processed=cl_proc,
+        tiles=nu * icap * 2,  # (8-row, 128-lane)-tile equivalents
+        padded_pairs=nu * share * 8 * icap * 16,
     )
 
 

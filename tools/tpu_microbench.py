@@ -152,18 +152,27 @@ def kernel_ab(quick=False):
             xc, yc, zc, pairs.ijlist, npad, cutsq, p.sigma6, p.epsilon,
             share=sim.ishare)
 
+    # the windowed-kernel twins need real tile ranges, which the ilist
+    # engine no longer builds (need_ranges=False) — use an xla-kernel
+    # sim's pairs for them
+    p2 = Params(precision="sp", kernel="xla", dense_thermo=False)
+    sim2 = ClusterSimulation(p2)
+    st2 = sim2.initial_state()
+    jax.block_until_ready(st2)
+    pairs2 = st2.pairs
+
     def f_xla(xc, yc, zc):
         return lj_cluster_force_xla(
-            xc, yc, zc, pairs.jlist, npad, GROUP, cutsq, p.sigma6,
+            xc, yc, zc, pairs2.jlist, npad, GROUP, cutsq, p.sigma6,
             p.epsilon)
 
     def f_stream(xc, yc, zc):
         return lj_cluster_force_pallas_stream(
-            xc, yc, zc, pairs.jlist, pairs.ranges, npad, GROUP, cutsq,
+            xc, yc, zc, pairs2.jlist, pairs2.ranges, npad, GROUP, cutsq,
             p.sigma6, p.epsilon)
 
     def f_repack(xc, yc, zc):
-        return repack_jtiles(xc, yc, zc, pairs.jlist)
+        return repack_jtiles(xc, yc, zc, pairs2.jlist)
 
     args = (cl.xc, cl.yc, cl.zc)
     print("FORCE ilist  : %.3f ms (%.0fM padded pairs)"

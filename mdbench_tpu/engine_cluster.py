@@ -31,6 +31,7 @@ from mdbench_tpu.ops.cluster import (
     ClusterHalo,
     ClusterPairList,
     Clusters,
+    attach_bucket_maps,
     bin_clusters,
     build_cluster_pairs,
     build_clusters,
@@ -185,6 +186,10 @@ class ClusterSimulation:
         self._ilist = (
             self._kmode in ("ilist", "ilist_pl") and not params.half_neigh
         )
+        # capacity buckets for the Pallas exact-list force (set by
+        # _calibrate_list_cap once the nji distribution is known):
+        # (sizes_in_units, caps) or None for the flat-capacity path
+        self.buckets = None
         # i-clusters sharing one exact list (derive_ilists share):
         # measured on TPU, share=2 halves the row-issue-bound gather at
         # an identical padded-pair count (z-adjacent i-clusters overlap
@@ -279,6 +284,11 @@ class ClusterSimulation:
                 clusters, pairs, self.n_clusters_pad, GROUP,
                 p.cutneigh, self.icap, share=self.ishare,
             )
+            if self.buckets is not None:
+                pairs = attach_bucket_maps(
+                    pairs, self.n_clusters_pad, self.ishare,
+                    clusters.xc.shape[0], *self.buckets,
+                )
         iovf = pairs.iovf if pairs.iovf is not None else jnp.asarray(False)
         # selective overflow flags -> targeted growth in run()
         ovf = jnp.stack([
@@ -335,6 +345,8 @@ class ClusterSimulation:
             )
         if self._ilist:
             if self._kmode == "ilist_pl" and not typed:
+                if self.buckets is not None and pairs.bijlist is not None:
+                    return self._force_buckets(clusters, pairs, cutsq)
                 return lj_cluster_force_ilist_pallas(
                     clusters.xc, clusters.yc, clusters.zc, pairs.ijlist,
                     self.n_clusters_pad, cutsq, p.sigma6, p.epsilon,
@@ -381,6 +393,40 @@ class ClusterSimulation:
             tc=clusters.tc if typed else None,
             tables=self._tables_jnp if typed else None,
         )
+
+    def _force_buckets(self, clusters: Clusters, pairs: ClusterPairList,
+                       cutsq: float):
+        """Capacity-bucketed exact-list force: units run in nji-sorted
+        order through one capacity-matched Pallas kernel per bucket
+        (smallest caps first), then the output rows gather back through
+        the inverse map. Cuts padded pairs ~25% vs the flat cap (heated
+        nji: tight bulk ~31-34 with a low tail, flat cap 48)."""
+        p = self.params
+        share = self.ishare
+        sizes, caps = self.buckets
+        xc, yc, zc = clusters.xc, clusters.yc, clusters.zc
+        xiP = xc[pairs.bcrows]
+        yiP = yc[pairs.bcrows]
+        ziP = zc[pairs.bcrows]
+        fxs, fys, fzs = [], [], []
+        off = 0
+        for n_k, c_k in zip(sizes, caps):
+            r0, r1 = off * share, (off + n_k) * share
+            fxk, fyk, fzk = lj_cluster_force_ilist_pallas(
+                xc, yc, zc, pairs.bijlist[off : off + n_k, :c_k],
+                n_k * share, cutsq, p.sigma6, p.epsilon,
+                share=share, interpret=self.interpret,
+                xi=(xiP[r0:r1], yiP[r0:r1], ziP[r0:r1]),
+            )
+            fxs.append(fxk)
+            fys.append(fyk)
+            fzs.append(fzk)
+            off += n_k
+        inv = pairs.binv
+        fx = jnp.concatenate(fxs, axis=0)[inv]
+        fy = jnp.concatenate(fys, axis=0)[inv]
+        fz = jnp.concatenate(fzs, axis=0)[inv]
+        return fx, fy, fz
 
     # -- stepping ----------------------------------------------------------
 
@@ -517,6 +563,11 @@ class ClusterSimulation:
                     cl, pairs, npad, GROUP, p.cutneigh, self.icap,
                     share=self.ishare,
                 )
+                if self.buckets is not None:
+                    pairs = attach_bucket_maps(
+                        pairs, npad, self.ishare, cl.xc.shape[0],
+                        *self.buckets,
+                    )
             iovf = pairs.iovf if pairs.iovf is not None else jnp.asarray(False)
             ovf = jnp.stack([
                 jnp.asarray(False), halo.overflow, ovf_bcap, ovf_zext,
@@ -572,13 +623,17 @@ class ClusterSimulation:
         exact per-i-cluster lists from current coordinates (list only
         shrinks: candidates come from the existing group list)."""
         if self._ilist:
-            return state._replace(
-                pairs=derive_ilists(
-                    state.clusters, state.pairs, self.n_clusters_pad,
-                    GROUP, self.params.cutneigh, self.icap,
-                    share=self.ishare,
-                )
+            pairs = derive_ilists(
+                state.clusters, state.pairs, self.n_clusters_pad,
+                GROUP, self.params.cutneigh, self.icap,
+                share=self.ishare,
             )
+            if self.buckets is not None:
+                pairs = attach_bucket_maps(
+                    pairs, self.n_clusters_pad, self.ishare,
+                    state.clusters.xc.shape[0], *self.buckets,
+                )
+            return state._replace(pairs=pairs)
         return state._replace(
             pairs=refresh_pair_ranges(
                 state.clusters, state.pairs, self.n_clusters_pad, GROUP,
@@ -687,7 +742,52 @@ class ClusterSimulation:
             if tight_i < self.icap:
                 self.icap = tight_i
                 shrunk = True
+            if self._plan_buckets(np.asarray(state0.pairs.nji)):
+                shrunk = True
         return shrunk
+
+    def _plan_buckets(self, nji: np.ndarray) -> bool:
+        """Choose capacity buckets for the Pallas exact-list force from
+        the observed nji distribution. Buckets only pay off at scale
+        (the per-step permutation gathers cost ~0.3 ms at 131k) and are
+        skipped for small boxes, typed runs, and non-Pallas kernels.
+        Caps carry a +6 thermal margin (heated quantiles sit ~3-5 above
+        the cold lattice's); sizes are sized one margin-step below
+        their quantile so the runtime sorted assignment has slack."""
+        if self.buckets is not None:
+            return False
+        if self._kmode != "ilist_pl" or self.type_tables is not None:
+            return False
+        nu = nji.shape[0]
+        if nu < 4096:
+            return False
+
+        def pad8(x):
+            return (int(x) + 7) // 8 * 8
+
+        srt = np.sort(nji)
+        cap_c = self.icap
+        # empty bucket: column-rounding pads ~10% of units with zero or
+        # near-zero lists — structural, so stable between resorts; they
+        # run at the minimum width instead of the full cap
+        cap_0 = 8
+        n_0 = int((srt <= cap_0 - 2).sum() * 0.97) // 64 * 64
+        # bulk bucket: the occupied units form a tight band (cold
+        # 29-35, heated ~31-36 at 131k) — cap at the p99 value + margin
+        cap_b = pad8(int(srt[int(0.99 * nu)]) + 5)
+        n_b = int(0.985 * nu) // 64 * 64 - n_0
+        sizes, caps = [], []
+        for n_k, c_k in ((n_0, cap_0), (n_b, cap_b)):
+            if n_k >= 64 and c_k < cap_c and (not caps or c_k > caps[-1]):
+                sizes.append(n_k)
+                caps.append(c_k)
+        if not sizes:
+            return False
+        n_c = max(64, (nu - sum(sizes) + 63) // 64 * 64)
+        sizes.append(n_c)
+        caps.append(cap_c)
+        self.buckets = (tuple(sizes), tuple(caps))
+        return True
 
     def run(self, ntimes: Optional[int] = None, max_retries: int = 5) -> CRunResult:
         p = self.params
@@ -732,6 +832,12 @@ class ClusterSimulation:
             flags = np.ones(7, bool)
         if len(flags) > 6 and flags[6]:
             self.icap = (int(self.icap * 1.5) + 7) // 8 * 8
+            if self.buckets is not None:
+                # bucket overflow: widen every cap (the last cap tracks
+                # icap, which just grew)
+                sizes, caps = self.buckets
+                caps = tuple(c + 8 for c in caps[:-1]) + (self.icap,)
+                self.buckets = (sizes, caps)
         blk = 8 * GROUP
         if flags[0]:
             self.n_clusters_pad = (

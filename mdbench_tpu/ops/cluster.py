@@ -172,6 +172,13 @@ class ClusterPairList(NamedTuple):
     ijlist: jnp.ndarray | None = None  # (NIC/share, icap) int32 j16 ids
     nji: jnp.ndarray | None = None  # (NIC/share,) int32
     iovf: jnp.ndarray | None = None  # () bool — nji > icap anywhere
+    # bucketed-force maps (attach_bucket_maps; kernel="ilist_pl" with
+    # calibrated buckets): units sorted by list length so each bucket
+    # runs a capacity-matched kernel (heated nji is a tight bulk with a
+    # low tail — mean 26 vs flat cap 48 wasted ~45% of the pair budget)
+    bijlist: jnp.ndarray | None = None  # (total_units, icap) permuted
+    bcrows: jnp.ndarray | None = None  # (total_units*share,) xi rows
+    binv: jnp.ndarray | None = None  # (NIC,) output row inverse map
 
 
 def _zbits(z):
@@ -765,6 +772,66 @@ def derive_ilists(
     nji = njis.reshape(-1)[:n_units]
     return pairs._replace(
         ijlist=ijlist, nji=nji, iovf=jnp.any(nji > icap)
+    )
+
+
+def attach_bucket_maps(
+    pairs: ClusterPairList,
+    n_clusters_pad: int,
+    share: int,
+    total_rows: int,  # xc row count (dummy units point at the sentinel pair)
+    sizes,  # static bucket sizes in units (each a multiple of 64)
+    caps,  # static bucket list capacities (ascending, pad8)
+) -> ClusterPairList:
+    """Sort i-units by exact list length and materialize the per-rebuild
+    maps the bucketed force path consumes each step: the permuted list
+    table, the permuted xi cluster-row indices, and the output-inverse
+    row map. Assignment is runtime-adaptive (argsort of nji), so bucket
+    membership follows the thermal nji drift; overflow = the largest
+    nji inside a bucket exceeding its cap (folded into iovf -> the
+    engine grows caps and retries)."""
+    nu, icap = pairs.ijlist.shape
+    total = int(sum(sizes))
+    assert total >= nu
+    order = jnp.argsort(pairs.nji).astype(jnp.int32)  # ascending
+    if total > nu:
+        order = jnp.concatenate(
+            [order, jnp.full((total - nu,), nu, jnp.int32)]
+        )
+    sent16 = total_rows // 2 - 1
+    ijl_ext = jnp.concatenate(
+        [pairs.ijlist, jnp.full((1, icap), sent16, jnp.int32)], axis=0
+    )
+    bijlist = ijl_ext[order]
+    # xi rows: unit u -> cluster rows [u*share, (u+1)*share); the dummy
+    # unit reads the global sentinel pair (last two rows)
+    crow0 = jnp.where(order < nu, order * share, total_rows - share)
+    bcrows = (
+        crow0[:, None] + jnp.arange(share, dtype=jnp.int32)[None, :]
+    ).reshape(-1)
+    # inverse: output cluster row c lives at permuted position
+    # inv_unit[c // share] * share + c % share
+    inv_u = jnp.zeros((nu + 1,), jnp.int32).at[order].set(
+        jnp.arange(total, dtype=jnp.int32), mode="drop"
+    )
+    c = jnp.arange(n_clusters_pad, dtype=jnp.int32)
+    binv = inv_u[c // share] * share + c % share
+    # per-bucket capacity check on the sorted lengths (dummy units have
+    # length 0)
+    nji_ext = jnp.concatenate(
+        [pairs.nji, jnp.zeros((1,), pairs.nji.dtype)]
+    )
+    nji_sorted = nji_ext[order[:total]]
+    bovf = jnp.asarray(False)
+    off = 0
+    for n_k, c_k in zip(sizes, caps):
+        last = min(off + n_k, nu) - 1
+        if last >= off:
+            bovf = bovf | (nji_sorted[last] > c_k)
+        off += n_k
+    return pairs._replace(
+        bijlist=bijlist, bcrows=bcrows, binv=binv,
+        iovf=pairs.iovf | bovf,
     )
 
 

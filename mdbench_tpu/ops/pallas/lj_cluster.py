@@ -793,12 +793,15 @@ def _kernel_ilist(
 
 
 def lj_cluster_force_ilist_pallas(
-    xc, yc, zc,  # (C_total, 8) coordinate planes
+    xc, yc, zc,  # (C_total, 8) coordinate planes (j-side reads)
     ijlist,  # (NIC/share, icap) int32 — exact per-i-unit j16 ids
     n_clusters_pad: int,
     cutforcesq: float, sigma6: float, epsilon: float,
     share: int = 2,
     interpret: bool = False,
+    xi=None,  # optional (xi_x, xi_y, xi_z) (n_clusters_pad, 8) i-side
+    # planes — the bucketed force path passes PERMUTED i-planes while
+    # the j-gather still reads the full original planes (ghost rows)
 ):
     """Exact-list LJ force, Pallas single-pass form — the TPU fast path
     (single-type; typed runs use the XLA twin). The per-step XLA gather
@@ -854,8 +857,10 @@ def lj_cluster_force_ilist_pallas(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(xjp, yjp, zjp, xc[:n_clusters_pad], yc[:n_clusters_pad],
-      zc[:n_clusters_pad])
+    )(xjp, yjp, zjp,
+      *(xi if xi is not None
+        else (xc[:n_clusters_pad], yc[:n_clusters_pad],
+              zc[:n_clusters_pad])))
     fx, fy, fz = out
     return (
         fx.reshape(n_clusters_pad, 8),

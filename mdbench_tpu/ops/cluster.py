@@ -536,6 +536,14 @@ def build_cluster_pairs(
     # in bin_clusters)
     slop = (size[0] / 2 + grid.slop_xy, size[1] / 2 + grid.slop_xy,
             grid.slop_z)
+    # packed-key compaction constants (need_ranges=False path)
+    n16 = ibbox.shape[0] // 2
+    sentinel_id = n16 - 1
+    id_bits16 = n16 <= (1 << 16)
+    zq_off = -(grid.cutneigh + grid.slop_z + 1.0)
+    zq_scale = 16383.0 / (
+        grid.prd[2] + 2.0 * (grid.cutneigh + grid.slop_z + 1.0)
+    )
     offs = np.array(
         [
             ((ox * dims[1]) + oy) * dims[2] + oz
@@ -618,10 +626,30 @@ def build_cluster_pairs(
         # the bitonic (~30% of the widest sort in the rebuild); ties
         # only occur between dropped/sentinel entries
         if not need_ranges:
-            zs, jl_sorted = jax.lax.sort(
-                (zmin_j, cand), num_keys=1, is_stable=False
-            )
-            jl = jl_sorted[:, :list_capacity]
+            # exact-list path: z order is only a locality nicety (the
+            # derive re-checks exactly), so the compaction runs as ONE
+            # packed-int key [dropped:1][quantized z:15][id:16] — half
+            # the widest sort in the rebuild — whenever ids fit 16 bits
+            if id_bits16:
+                zq = jnp.clip(
+                    ((cbT[:, 4] - zq_off) * zq_scale).astype(jnp.int32),
+                    0, 16383,
+                )
+                key = jnp.where(
+                    keep,
+                    (zq << 16) | cand,
+                    jnp.int32(1 << 30) + cand,
+                )
+                ks = jax.lax.sort(key, dimension=1, is_stable=False)
+                ks = ks[:, :list_capacity]
+                jl = jnp.where(
+                    ks < (1 << 30), ks & 0xFFFF, sentinel_id
+                )
+            else:
+                zs, jl_sorted = jax.lax.sort(
+                    (zmin_j, cand), num_keys=1, is_stable=False
+                )
+                jl = jl_sorted[:, :list_capacity]
             ranges = jnp.zeros((chunk, 2 * group + 1), jnp.int32)
             ovf_nj = jnp.any(nj > list_capacity)
             ovf_cov = jnp.any(~covered)
@@ -713,9 +741,11 @@ def derive_ilists(
     gs_units = group // share
     ng, _, L = pairs.jlist.shape
     cjn = clusters.xc.shape[0] // 2
-    x16 = clusters.xc.reshape(cjn, 16)
-    y16 = clusters.yc.reshape(cjn, 16)
-    z16 = clusters.zc.reshape(cjn, 16)
+    packed48 = jnp.concatenate(
+        [clusters.xc.reshape(cjn, 16), clusters.yc.reshape(cjn, 16),
+         clusters.zc.reshape(cjn, 16)],
+        axis=1,
+    )  # row gathers are issue-bound: one 48-wide fetch, not three
     sentinel16 = cjn - 1
     jl_all = pairs.jlist.reshape(ng, L)
     nj_all = pairs.nj
@@ -733,10 +763,15 @@ def derive_ilists(
         # (L*16 lanes) and i-atoms sit on sublanes — the naive
         # (..., L, 16) shape leaves 16 of 128 lanes live and measured
         # 16 ms at 131k; this layout + two-stage min runs the same math
-        # at full lane occupancy
-        xj = x16[jl].reshape(chunk, 1, 1, L * 16)
-        yj = y16[jl].reshape(chunk, 1, 1, L * 16)
-        zj = z16[jl].reshape(chunk, 1, 1, L * 16)
+        # at full lane occupancy. The plane split is the measured-fast
+        # 4-D transpose of one packed gather.
+        rows = packed48[jl]  # (chunk, L, 48)
+        pl3 = jnp.transpose(
+            rows.reshape(chunk, L, 3, 16), (0, 2, 1, 3)
+        ).reshape(chunk, 3, 1, 1, L * 16)
+        xj = pl3[:, 0]
+        yj = pl3[:, 1]
+        zj = pl3[:, 2]
         xi = xi_all[gsafe].reshape(chunk, gs_units, share * M, 1)
         yi = yi_all[gsafe].reshape(chunk, gs_units, share * M, 1)
         zi = zi_all[gsafe].reshape(chunk, gs_units, share * M, 1)

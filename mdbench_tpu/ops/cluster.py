@@ -348,20 +348,20 @@ def setup_cluster_pbc(
     valid = jnp.all(pos_ok & neg_ok, axis=2) & pbc_ok[None, :]
 
     flat = valid.reshape(-1)
-    pos = jnp.cumsum(flat) - 1
     nghost = jnp.sum(flat).astype(jnp.int32)
     overflow = nghost > gcap16
-    pos = jnp.where(flat & (pos < gcap16), pos, gcap16)
 
-    # ONE scatter of the packed candidate index (cluster*26 + shift);
-    # border_map and the shift vectors unpack from it with cheap
-    # gathers. Dynamic-index scatters run at ~0.14G elts/s on TPU
-    # (PERF.md round 2) — the four separate scatters this replaces were
-    # ~5 ms of the rebuild at 131k.
+    # compaction by ONE single-operand sort of the packed candidate
+    # index (cluster*26 + shift): valid candidates keep their index
+    # (order-preserving), dropped ones sort to the tail as the sentinel
+    # value. A sort of 254k ints costs ~0.1 ms where the cumsum+scatter
+    # it replaces cost ~1.5 ms (scatters run at ~0.14G elts/s; this
+    # replaced FOUR scatters in round 1 and the last one now).
     cand = jnp.arange(n16 * 26, dtype=jnp.int32)
     sentinel16 = clusters.xc.shape[0] // 2 - 1
-    packed = jnp.full((gcap16 + 1,), sentinel16 * 26, jnp.int32)
-    packed = packed.at[pos].set(cand, mode="drop")[:gcap16]
+    packed = jnp.sort(
+        jnp.where(flat, cand, jnp.int32(sentinel16 * 26))
+    )[:gcap16]
     border_map = packed // 26
     sidx = packed - border_map * 26
     shift_tab = jnp.asarray(
@@ -454,10 +454,15 @@ def bin_clusters(grid: ClusterGrid, bb: jnp.ndarray):
     sentinel = nrows - 1
     order = jnp.argsort(ids)
     sorted_ids = ids[order]
-    starts = jnp.searchsorted(
-        sorted_ids, jnp.arange(grid.nbins + 1, dtype=ids.dtype)
+    # rank within each equal-id run via boundary flags + running max —
+    # a searchsorted here lowers to a sequential binary-search while
+    # loop (~1.2 ms at 131k); this is three vector ops
+    iota = jnp.arange(nrows, dtype=jnp.int32)
+    newrun = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_ids[1:] != sorted_ids[:-1]]
     )
-    rank = jnp.arange(nrows, dtype=jnp.int32) - starts[sorted_ids].astype(jnp.int32)
+    run_start = jax.lax.cummax(jnp.where(newrun, iota, 0))
+    rank = iota - run_start
     valid = sorted_ids < grid.nbins
     in_cap = rank < grid.bin_capacity
     ovf_cap = jnp.any(valid & ~in_cap)

@@ -481,15 +481,25 @@ def bin_clusters(grid: ClusterGrid, bb: jnp.ndarray):
     # check. The cluster ID rides in pad slot 6 of each bbox row
     # (float-exact below 2^24), so the pair search's candidate fetch is
     # ONE by-bin-row gather instead of two (ids + bboxes were ~1.6 ms
-    # each at 131k — row gathers are issue-bound). The barrier forces
-    # the table to MATERIALIZE: without it XLA composes this gather
-    # with build_cluster_pairs' bb_cells[cand_bins] gather into
-    # per-cluster row gathers — 8x the gather rows, ~+10 ms/rebuild.
+    # each at 131k — row gathers are issue-bound). Rows are stored
+    # COMPONENT-MAJOR ((nbins+1, 8, cap): all xlo of the bin's slots,
+    # then all xhi, ...) so the pair search extracts lane-contiguous
+    # component planes with plain slices — transposing the 4.7 MB table
+    # once here replaces relayouting the ~70 MB gathered candidate
+    # stream every rebuild. The barrier forces the table to
+    # MATERIALIZE: without it XLA composes this gather with
+    # build_cluster_pairs' bb_cells[cand_bins] gather into per-cluster
+    # row gathers — 8x the gather rows, ~+10 ms/rebuild.
     bb_id = bb.at[:, 6].set(jnp.arange(nrows, dtype=bb.dtype))
-    bb_cells = jax.lax.optimization_barrier(bb_id[cells])
+    bb_cells = jax.lax.optimization_barrier(
+        jnp.transpose(
+            bb_id[cells].reshape(grid.nbins + 1, grid.bin_capacity, 8),
+            (0, 2, 1),
+        )
+    )
     return (
         cells.reshape(grid.nbins + 1, grid.bin_capacity),
-        bb_cells.reshape(grid.nbins + 1, grid.bin_capacity, 8),
+        bb_cells,  # (nbins+1, 8, cap)
         (ovf_cap, ovf_zext),
     )
 
@@ -497,7 +507,7 @@ def bin_clusters(grid: ClusterGrid, bb: jnp.ndarray):
 def build_cluster_pairs(
     grid: ClusterGrid,
     cells: jnp.ndarray,  # (nbins+1, cap) — j16-cluster ids
-    bb_cells: jnp.ndarray,  # (nbins+1, cap, 8) — their bboxes, aligned
+    bb_cells: jnp.ndarray,  # (nbins+1, 8, cap) component-major bbox+id
     ibbox: jnp.ndarray,  # (>= n_clusters_pad, 8) i-cluster (8-atom) bboxes
     n_clusters_pad: int,
     group: int,
@@ -592,26 +602,30 @@ def build_cluster_pairs(
         cand_bins = base[:, None] + offs_j[None, :]  # (chunk, Wx*Wy*Wz)
         nwin = offs.shape[0]
 
-        # bbox+id gather by FLAT BIN ROW (cap*8 floats): measured A/B at
-        # 131k per rebuild — flat rows + the 4-D transpose run at
-        # ~1.5 ns/row (1.7 ms total) vs 16 ms for (cap, 8)-shaped slice
-        # rows + a 3-D transpose (two minor dims wreck both the gather
-        # and the relayout). The id rides in pad slot 6, so no separate
-        # id gather. End state: components planar on (chunk, 8, ncand)
-        # — the gap test runs at full lane occupancy.
-        g = bb_cells.reshape(-1, cap * 8)[cand_bins]
-        cbT = jnp.transpose(
-            g.reshape(chunk, nwin, cap, 8), (0, 3, 1, 2)
-        ).reshape(chunk, 8, nwin * cap)
+        # bbox+id gather by FLAT BIN ROW (8*cap floats, component-major
+        # within the row): flat rows gather at ~1.5 ns/row, and because
+        # the table is pre-transposed, component planes come out as
+        # lane-CONTIGUOUS slices — no per-candidate relayout at all
+        # (the earlier 4-D transpose of the gathered stream was ~1.2 ms
+        # per rebuild). The id rides in pad slot 6, so no separate id
+        # gather. End state: components planar on (chunk, 8, ncand) —
+        # the gap test runs at full lane occupancy.
+        g = bb_cells.reshape(-1, 8 * cap)[cand_bins]
+
+        def comp(c):  # lane-contiguous component plane (chunk, ncand)
+            return g[:, :, c * cap : (c + 1) * cap].reshape(
+                chunk, nwin * cap
+            )
 
         # bbox-to-bbox distance vs group bbox
         def gap(lo_i, hi_i, lo_j, hi_j):
             return jnp.maximum(
                 0.0, jnp.maximum(lo_i[:, None] - hi_j, lo_j - hi_i[:, None])
             )
-        dx = gap(mnx, mxx, cbT[:, 0], cbT[:, 1])
-        dy = gap(mny, mxy, cbT[:, 2], cbT[:, 3])
-        dz = gap(mnz, mxz, cbT[:, 4], cbT[:, 5])
+        dx = gap(mnx, mxx, comp(0), comp(1))
+        dy = gap(mny, mxy, comp(2), comp(3))
+        zmin_raw = comp(4)
+        dz = gap(mnz, mxz, zmin_raw, comp(5))
         dsq = dx * dx + dy * dy + dz * dz
         keep = (dsq <= cutsq) & real[:, None]  # empty slots fail dsq
 
@@ -625,8 +639,8 @@ def build_cluster_pairs(
         # With need_ranges=False (exact-list kernels ignore windows),
         # zmax stays out of the sort: each operand costs ~30% of the
         # 6k-wide bitonic.
-        cand = cbT[:, 6].astype(jnp.int32)  # ids from pad slot 6
-        zmin_j = jnp.where(keep, cbT[:, 4], SENTINEL_COORD)
+        cand = comp(6).astype(jnp.int32)  # ids from pad slot 6
+        zmin_j = jnp.where(keep, zmin_raw, SENTINEL_COORD)
         # is_stable=False everywhere: stability adds an iota operand to
         # the bitonic (~30% of the widest sort in the rebuild); ties
         # only occur between dropped/sentinel entries
@@ -637,7 +651,7 @@ def build_cluster_pairs(
             # the widest sort in the rebuild — whenever ids fit 16 bits
             if id_bits16:
                 zq = jnp.clip(
-                    ((cbT[:, 4] - zq_off) * zq_scale).astype(jnp.int32),
+                    ((zmin_raw - zq_off) * zq_scale).astype(jnp.int32),
                     0, 16383,
                 )
                 key = jnp.where(
@@ -659,7 +673,7 @@ def build_cluster_pairs(
             ovf_nj = jnp.any(nj > list_capacity)
             ovf_cov = jnp.any(~covered)
             return jl, ranges, nj, ovf_nj, ovf_cov
-        zmax_j = jnp.where(keep, cbT[:, 5], SENTINEL_COORD)
+        zmax_j = jnp.where(keep, comp(5), SENTINEL_COORD)
         zs, zx_sorted, jl_sorted = jax.lax.sort(
             (zmin_j, zmax_j, cand), num_keys=1, is_stable=False
         )

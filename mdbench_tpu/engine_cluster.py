@@ -344,13 +344,22 @@ class ClusterSimulation:
                 tables=self._tables_jnp if typed else None,
             )
         if self._ilist:
-            if self._kmode == "ilist_pl" and not typed:
-                if self.buckets is not None and pairs.bijlist is not None:
-                    return self._force_buckets(clusters, pairs, cutsq)
+            if self._kmode == "ilist_pl":
+                if not typed:
+                    if (self.buckets is not None
+                            and pairs.bijlist is not None):
+                        return self._force_buckets(clusters, pairs, cutsq)
+                    return lj_cluster_force_ilist_pallas(
+                        clusters.xc, clusters.yc, clusters.zc,
+                        pairs.ijlist, self.n_clusters_pad, cutsq,
+                        p.sigma6, p.epsilon, share=self.ishare,
+                        interpret=self.interpret,
+                    )
                 return lj_cluster_force_ilist_pallas(
                     clusters.xc, clusters.yc, clusters.zc, pairs.ijlist,
                     self.n_clusters_pad, cutsq, p.sigma6, p.epsilon,
                     share=self.ishare, interpret=self.interpret,
+                    tc=clusters.tc, tables=self._tables_static,
                 )
             return lj_cluster_force_xla_ilist(
                 clusters.xc, clusters.yc, clusters.zc, pairs.ijlist,

@@ -730,9 +730,9 @@ ILIST_UNIT = 16  # i-clusters per Pallas grid step (= 128 output lanes)
 
 def _kernel_ilist(
     xj_ref, yj_ref, zj_ref, xi_ref, yi_ref, zi_ref,
-    fx_ref, fy_ref, fz_ref, ax, ay, az,
-    *, share: int, W: int, cutforcesq: float, sigma6: float,
-    epsilon: float,
+    *rest,
+    share: int, W: int, cutforcesq: float, sigma6: float,
+    epsilon: float, tables=None,
 ):
     """Single-pass exact-list force: for each i-cluster, the whole
     (8, icap*16) pair tile is computed ONCE — distances, gf, and all
@@ -742,27 +742,66 @@ def _kernel_ilist(
     kernel is a straight-line VPU program at the padded-pair roofline.
     Per-atom totals land in a (128,128) scratch and leave as one
     lane-contracting ones-dot per component (sublane->lane relayout via
-    the MXU, same trick as _kernel_stream)."""
+    the MXU, same trick as _kernel_stream).
+
+    tables (static): None for single-type, else (eps, sig6, cutsq)
+    nested float tuples indexed [ti][tj] (reference EXPLICIT_TYPES
+    per-type-pair tables, clusterpair/atom.c:78-92). Typed runs add
+    tj/ti operands; per unit the j-side table rows are assembled once
+    per i-type (T^2 cheap selects), then mixed per i-cluster by T
+    sublane selects — same scheme as _kernel_stream."""
+    if tables is None:
+        fx_ref, fy_ref, fz_ref, ax, ay, az = rest
+        tj_ref = ti_ref = None
+    else:
+        tj_ref, ti_ref, fx_ref, fy_ref, fz_ref, ax, ay, az = rest
+        eps_t, sig6_t, cutsq_t = tables
+        T = len(eps_t)
     gb = ILIST_UNIT // share
     nf = W // 128
     for k in range(gb):
         xj = xj_ref[k : k + 1, :]  # (1, W)
         yj = yj_ref[k : k + 1, :]
         zj = zj_ref[k : k + 1, :]
+        if tables is not None:
+            tj = tj_ref[k : k + 1, :]
+            eps_a, sig_a, cut_a = [], [], []
+            for a in range(T):
+                e = jnp.full_like(tj, eps_t[a][0])
+                s6 = jnp.full_like(tj, sig6_t[a][0])
+                cq = jnp.full_like(tj, cutsq_t[a][0])
+                for b in range(1, T):
+                    sel = tj == float(b)
+                    e = jnp.where(sel, eps_t[a][b], e)
+                    s6 = jnp.where(sel, sig6_t[a][b], s6)
+                    cq = jnp.where(sel, cutsq_t[a][b], cq)
+                eps_a.append(e)
+                sig_a.append(s6)
+                cut_a.append(cq)
         for ic in range(share):
             i = k * share + ic
             xi = xi_ref[i, :].reshape(8, 1)
             yi = yi_ref[i, :].reshape(8, 1)
             zi = zi_ref[i, :].reshape(8, 1)
+            if tables is None:
+                eps, sig6, cutsq = epsilon, sigma6, cutforcesq
+            else:
+                ti = ti_ref[i, :].reshape(8, 1)
+                eps, sig6, cutsq = eps_a[0], sig_a[0], cut_a[0]
+                for a in range(1, T):
+                    sel = ti == float(a)
+                    eps = jnp.where(sel, eps_a[a], eps)
+                    sig6 = jnp.where(sel, sig_a[a], sig6)
+                    cutsq = jnp.where(sel, cut_a[a], cutsq)
             dx = xi - xj
             dy = yi - yj
             dz = zi - zj
             rsq = dx * dx + dy * dy + dz * dz
-            mask = (rsq < cutforcesq) & (rsq > 0.0)
+            mask = (rsq < cutsq) & (rsq > 0.0)
             rs = jnp.where(mask, rsq, 1.0)
             sr2 = 1.0 / rs
-            sr6 = sr2 * sr2 * sr2 * sigma6
-            gf = jnp.where(mask, 48.0 * epsilon * sr6 * (sr6 - 0.5) * sr2, 0.0)
+            sr6 = sr2 * sr2 * sr2 * sig6
+            gf = jnp.where(mask, 48.0 * eps * sr6 * (sr6 - 0.5) * sr2, 0.0)
             px = dx * gf
             py = dy * gf
             pz = dz * gf
@@ -802,16 +841,20 @@ def lj_cluster_force_ilist_pallas(
     xi=None,  # optional (xi_x, xi_y, xi_z) (n_clusters_pad, 8) i-side
     # planes — the bucketed force path passes PERMUTED i-planes while
     # the j-gather still reads the full original planes (ghost rows)
+    tc=None, tables=None,  # typed: float type plane + (eps, sig6,
+    # cutsq) nested STATIC float tuples (reference EXPLICIT_TYPES)
 ):
-    """Exact-list LJ force, Pallas single-pass form — the TPU fast path
-    (single-type; typed runs use the XLA twin). The per-step XLA gather
-    repacks the shared-list coordinate rows into dense planar
-    (NIC/share, icap*16) tiles; the kernel streams them via BlockSpec
-    with zero in-kernel dynamic slices and computes each pair tile once.
+    """Exact-list LJ force, Pallas single-pass form — the TPU fast
+    path. The per-step XLA gather repacks the shared-list coordinate
+    rows into dense planar (NIC/share, icap*16) tiles; the kernel
+    streams them via BlockSpec with zero in-kernel dynamic slices and
+    computes each pair tile once. Typed runs (tc+tables) ride the type
+    plane through the same packed gather as a 4th column.
     Returns (fxc, fyc, fzc) each (n_clusters_pad, 8)."""
     nu, icap = ijlist.shape
     assert nu * share == n_clusters_pad
     assert ILIST_UNIT % share == 0
+    assert (tc is None) == (tables is None)
     W = icap * 16
     assert W % 128 == 0, "icap must be a multiple of 8"
     nb = n_clusters_pad // ILIST_UNIT
@@ -819,17 +862,27 @@ def lj_cluster_force_ilist_pallas(
     assert nb % 8 == 0  # revolving 8-row output blocks
     gb = ILIST_UNIT // share
     dtype = xc.dtype
+    typed = tables is not None
+    if typed:
+        # plain Python floats: numpy scalars are strong-typed and drag
+        # f64 into the kernel when x64 is enabled (CPU test rig)
+        tables = tuple(
+            tuple(tuple(float(v) for v in row) for row in t)
+            for t in tables
+        )
 
-    rows = gather_ilist_rows(xc, yc, zc, ijlist)
+    rows = gather_ilist_rows(xc, yc, zc, ijlist, tc)
     xjp = rows[:, :, 0:16].reshape(nu, W)
     yjp = rows[:, :, 16:32].reshape(nu, W)
     zjp = rows[:, :, 32:48].reshape(nu, W)
+    if typed:
+        tjp = rows[:, :, 48:64].reshape(nu, W)
 
     kern = functools.partial(
         _kernel_ilist,
         share=share, W=W,
         cutforcesq=float(cutforcesq), sigma6=float(sigma6),
-        epsilon=float(epsilon),
+        epsilon=float(epsilon), tables=tables,
     )
     xj_block = pl.BlockSpec((gb, W), lambda b: (b, 0), memory_space=pltpu.VMEM)
     xi_block = pl.BlockSpec(
@@ -838,10 +891,21 @@ def lj_cluster_force_ilist_pallas(
     out_block = pl.BlockSpec(
         (1, 8, 128), lambda b: (b // 8, 0, 0), memory_space=pltpu.VMEM
     )
+    xi_planes = (
+        xi if xi is not None
+        else (xc[:n_clusters_pad], yc[:n_clusters_pad],
+              zc[:n_clusters_pad])
+    )
+    in_specs = [xj_block, xj_block, xj_block,
+                xi_block, xi_block, xi_block]
+    operands = [xjp, yjp, zjp, *xi_planes]
+    if typed:
+        in_specs += [xj_block, xi_block]
+        operands += [tjp, tc[:n_clusters_pad]]
     out = pl.pallas_call(
         kern,
         grid=(nb,),
-        in_specs=[xj_block, xj_block, xj_block, xi_block, xi_block, xi_block],
+        in_specs=in_specs,
         out_specs=[out_block, out_block, out_block],
         out_shape=[
             jax.ShapeDtypeStruct((nb // 8, 8, 128), dtype),
@@ -857,10 +921,7 @@ def lj_cluster_force_ilist_pallas(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(xjp, yjp, zjp,
-      *(xi if xi is not None
-        else (xc[:n_clusters_pad], yc[:n_clusters_pad],
-              zc[:n_clusters_pad])))
+    )(*operands)
     fx, fy, fz = out
     return (
         fx.reshape(n_clusters_pad, 8),

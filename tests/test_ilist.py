@@ -97,11 +97,14 @@ def test_ilist_multitype_parity():
     cutsq = np.full((2, 2), p.cutforce**2)
     tables = (eps, sig6, cutsq)
     out = {}
-    for kern in ("ilist", "xla"):
-        pk = Params(precision="dp", nx=4, ny=4, nz=4, ntypes=2, kernel=kern)
+    for kern in ("ilist", "xla", "ilist_pl"):
+        pk = Params(precision="dp" if kern != "ilist_pl" else "sp",
+                    nx=4, ny=4, nz=4, ntypes=2, kernel=kern)
         sim = ClusterSimulation(pk, types=types, tables=tables)
         out[kern] = sim.first_force_atoms()
     assert np.abs(out["ilist"] - out["xla"]).max() < 1e-10
+    # typed Pallas twin (interpret mode, SP)
+    assert np.abs(out["ilist_pl"] - out["ilist"]).max() < 1e-4
 
 
 def test_ilist_capacity_growth_on_overflow():

@@ -1,0 +1,206 @@
+"""Round-3 phase probe: decompose the cheap rebuild and the plain step
+at the 131k benchmark workload on the real chip.
+
+    python tools/r3_probe.py [phase ...]
+
+Phases: plain cheap pairs derive force repack all (default: all).
+Every timed region is chained inside one dispatch (tunnel-safe) via
+tools.tpu_microbench.timeit.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.tpu_microbench import fence, timeit, tunnel_rtt  # noqa: E402
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from mdbench_tpu.config import Params
+    from mdbench_tpu.engine_cluster import GROUP, ClusterSimulation
+    from mdbench_tpu.ops.cluster import (
+        bin_clusters, build_cluster_pairs, compute_bboxes, derive_ilists,
+        make_j16_bboxes, setup_cluster_pbc, update_cluster_pbc,
+    )
+
+    which = set(sys.argv[1:]) or {"all"}
+
+    def want(name):
+        return "all" in which or name in which
+
+    p = Params(precision="sp", dense_thermo=False)
+    sim = ClusterSimulation(p)
+    st = sim.initial_state()
+    jax.block_until_ready(st)
+    if sim._calibrate_list_cap(st):
+        st = sim.initial_state()
+        jax.block_until_ready(st)
+    npad = sim.n_clusters_pad
+    cutsq = p.cutforce**2
+    print("CAPS list_cap=%d icap=%d npad=%d buckets=%s ishare=%d"
+          % (sim.list_cap, sim.icap, npad, sim.buckets, sim.ishare))
+    cl, pairs = st.clusters, st.pairs
+
+    args = (cl.xc, cl.yc, cl.zc)
+
+    if want("plain"):
+        # full plain step (scan-fused, includes carry glue)
+        @jax.jit
+        def plain_reps(st0):
+            def body(stx, _):
+                stx, _tp = sim._plain_step(stx, None)
+                return stx, ()
+            stx, _ = jax.lax.scan(body, st0, None, length=24)
+            return stx.vxc
+
+        fence(plain_reps(st))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fence(plain_reps(st))
+            best = min(best, time.perf_counter() - t0)
+        print("PLAIN step (scan)    : %.3f ms" % ((best - tunnel_rtt()) / 24 * 1e3))
+
+        # force only (includes gather+planarize+kernel)
+        def f_force(xc, yc, zc):
+            return sim._force_from(cl._replace(xc=xc, yc=yc, zc=zc), pairs)
+
+        print("  force total        : %.3f ms" % (timeit(f_force, *args) * 1e3))
+
+        # gather + planarize only (the ilist row fetch)
+        from mdbench_tpu.ops.pallas.lj_cluster import gather_ilist_rows
+
+        if pairs.bijlist is not None:
+            sizes, caps = sim.buckets
+
+            def f_gather(xc, yc, zc):
+                outs = []
+                off = 0
+                for n_k, c_k in zip(sizes, caps):
+                    outs.append(gather_ilist_rows(
+                        xc, yc, zc, pairs.bijlist[off:off + n_k, :c_k]))
+                    off += n_k
+                return outs[-1]
+        else:
+            def f_gather(xc, yc, zc):
+                return gather_ilist_rows(xc, yc, zc, pairs.ijlist)
+
+        print("  gather rows        : %.3f ms" % (timeit(f_gather, *args) * 1e3))
+
+        # gather + planarize (the full preamble the kernel consumes)
+        def f_planar(xc, yc, zc):
+            outs = []
+            if pairs.bijlist is not None:
+                off = 0
+                for n_k, c_k in zip(sim.buckets[0], sim.buckets[1]):
+                    rows = gather_ilist_rows(
+                        xc, yc, zc, pairs.bijlist[off:off + n_k, :c_k])
+                    W = c_k * 16
+                    nu = n_k
+                    outs.append(rows[:, :, 0:16].reshape(nu, W)
+                                + rows[:, :, 16:32].reshape(nu, W)
+                                + rows[:, :, 32:48].reshape(nu, W))
+                    off += n_k
+                return outs[-1]
+            rows = gather_ilist_rows(xc, yc, zc, pairs.ijlist)
+            nu, icap = pairs.ijlist.shape
+            W = icap * 16
+            return (rows[:, :, 0:16].reshape(nu, W)
+                    + rows[:, :, 16:32].reshape(nu, W)
+                    + rows[:, :, 32:48].reshape(nu, W))
+
+        print("  gather+planarize   : %.3f ms" % (timeit(f_planar, *args) * 1e3))
+
+        # integrate + ghost refresh only
+        def f_intg(xc, yc, zc):
+            c = cl._replace(
+                xc=xc.at[:npad].add(1e-7),
+                yc=yc.at[:npad].add(1e-7),
+                zc=zc.at[:npad].add(1e-7),
+            )
+            c = update_cluster_pbc(c, st.halo, npad, False)
+            return c.xc
+
+        print("  integrate+ghost    : %.3f ms" % (timeit(f_intg, *args) * 1e3))
+
+    if want("cheap"):
+        @jax.jit
+        def cheap_reps(st0):
+            def body(stx, _):
+                stx, _tp = sim._reneigh_step_cheap(stx)
+                return stx._replace(overflow=st0.overflow), ()
+            stx, _ = jax.lax.scan(body, st0, None, length=8)
+            return stx.vxc
+
+        fence(cheap_reps(st))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fence(cheap_reps(st))
+            best = min(best, time.perf_counter() - t0)
+        print("CHEAP rebuild step   : %.3f ms" % ((best - tunnel_rtt()) / 8 * 1e3))
+
+        # sub-phases of the cheap rebuild, from current coords
+        def ph_bbox_halo_bins(xc, yc, zc):
+            c = cl._replace(xc=xc, yc=yc, zc=zc)
+            bbox_l = compute_bboxes(xc[:npad], yc[:npad], zc[:npad])
+            bbox = c.bbox.at[:npad].set(bbox_l)
+            c = c._replace(bbox=bbox)
+            h = setup_cluster_pbc(c, npad, npad, sim.ghost_cap, sim.prd,
+                                  (1, 1, 1), p.cutneigh)
+            c = update_cluster_pbc(c, h, npad, True)
+            bb16 = make_j16_bboxes(c.bbox)
+            cells, bbc, _ = bin_clusters(sim.grid, bb16)
+            return cells
+
+        print("  bbox+halo+bins     : %.3f ms"
+              % (timeit(ph_bbox_halo_bins, *args) * 1e3))
+
+    if want("pairs") or want("cheap"):
+        bb16 = make_j16_bboxes(cl.bbox)
+        cells, bbc, _ = bin_clusters(sim.grid, bb16)
+        cells = jax.block_until_ready(cells)
+
+        def ph_pairs(xc, yc, zc):
+            c = cl._replace(xc=xc, yc=yc, zc=zc)
+            pr = build_cluster_pairs(
+                sim.grid, cells, bbc, c.bbox, npad, GROUP, sim.list_cap,
+                need_ranges=not sim._ilist)
+            return pr.jlist
+
+        print("  build_pairs        : %.3f ms" % (timeit(ph_pairs, *args) * 1e3))
+
+    if want("derive") or want("cheap"):
+        def ph_derive(xc, yc, zc):
+            c = cl._replace(xc=xc, yc=yc, zc=zc)
+            pr = derive_ilists(c, pairs, npad, GROUP, p.cutneigh,
+                               sim.icap, share=sim.ishare)
+            return pr.ijlist
+
+        print("  derive_ilists      : %.3f ms" % (timeit(ph_derive, *args) * 1e3))
+
+        if sim.buckets is not None:
+            from mdbench_tpu.ops.cluster import attach_bucket_maps
+
+            def ph_buckets(xc, yc, zc):
+                pr = attach_bucket_maps(
+                    pairs, npad, sim.ishare, cl.xc.shape[0], *sim.buckets)
+                return pr.bijlist
+
+            print("  attach_buckets     : %.3f ms"
+                  % (timeit(ph_buckets, *args) * 1e3))
+
+    print("nj stats: mean=%.1f max=%d  nji mean=%.1f max=%d"
+          % (float(jnp.mean(pairs.nj)), int(jnp.max(pairs.nj)),
+             float(jnp.mean(pairs.nji)), int(jnp.max(pairs.nji))))
+
+
+if __name__ == "__main__":
+    main()

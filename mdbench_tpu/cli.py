@@ -270,6 +270,7 @@ def main(argv=None) -> int:
             cs = compute_cluster_stats(
                 out.state.clusters, out.state.pairs, sim.n_clusters_pad,
                 16, params.cutforce**2, params.cutneigh**2,
+                buckets=getattr(sim, "buckets", None),
             )
             stats.num_neighs = cs["clusters_processed"]
             stats.total_force_neighs = (

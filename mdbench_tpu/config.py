@@ -106,6 +106,15 @@ class Params:
     # kernel), "pallas_ds" / "pallas_mxu" (Pallas comparison twins).
     # "auto" = "ilist_pl" on TPU, "ilist" on CPU.
     kernel: str = "auto"
+    # i-clusters sharing one exact list (cluster scheme, ilist kernels):
+    # 0 = auto (measured-best per backend). Larger share = fewer
+    # issue-bound gather rows per step at more padded pairs.
+    ishare: int = 0
+    # approximate VPU reciprocal + one Newton refine in the Pallas force
+    # kernel (f32-accurate to ~1 ulp; the golden temperature gate in
+    # bench.py holds) — saves the multi-op exact divide per pair tile
+    # (measured -8% per step on the 131k workload)
+    approx_rcp: bool = True
     # Tracing/profiling hooks (reference MEM_TRACER / INDEX_TRACER /
     # LIKWID, SURVEY §5.1): output path prefixes; empty = off
     trace_index: str = ""

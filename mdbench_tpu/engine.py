@@ -288,18 +288,13 @@ class Simulation:
         n_intervals = ntimes // every
         tail = ntimes - n_intervals * every
 
-        # spatial resort cadence (reference sortAtom every resort_every
-        # steps inside reneighbour, main.c + neighbor.c:360-426). Only
-        # cadences aligned with the rebuild cadence are representable in
-        # the static scan structure (the reference's defaults are:
-        # resort 400 = 20 x reneigh 20).
-        resort = (
-            p.resort_every
-            if (p.sort_atoms and p.resort_every
-                and p.resort_every % every == 0
-                and p.resort_every <= ntimes)
-            else 0
-        )
+        # spatial resort cadence — EXACT reference semantics
+        # (verletlist/main.c:83-87): the resort fires at a reneighbor
+        # step iff that global step index is a multiple of
+        # resort_every, so unaligned cadences fire at the common
+        # multiples, exactly as the C loop does (e.g. resort 50 /
+        # reneigh 20 -> steps 100, 200, ...).
+        resort = p.resort_every if p.sort_atoms else 0
 
         def plain_step(state: StepState, _):
             x, v = initial_integrate(state.x, state.v, state.f, dt, dtforce, nlocal)
@@ -336,42 +331,27 @@ class Simulation:
             )
             return state, tp
 
+        # consecutive same-kind intervals roll up into one lax.scan
+        # (the compiled program stays small; same scheme as
+        # engine_cluster's resort segments)
+        sort_flags = [
+            bool(resort > 0 and ((i + 1) * every) % resort == 0)
+            for i in range(n_intervals)
+        ]
+        segments = []  # [do_resort, count]
+        for fl in sort_flags:
+            if segments and segments[-1][0] == fl:
+                segments[-1][1] += 1
+            else:
+                segments.append([fl, 1])
+
         def run(state: StepState, _flags):
             tp_parts = []
-            n_left = n_intervals
-            if resort:
-                per = resort // every
-                n_periods = n_intervals // per
-                n_left = n_intervals - n_periods * per
-
-                def period(state, _):
-                    if per > 1:
-                        state, tp_a = jax.lax.scan(
-                            interval, state, None, length=per - 1
-                        )
-                    state, tp_b = interval(state, None, do_resort=True)
-                    if per > 1:
-                        tp = jax.tree_util.tree_map(
-                            lambda a, b: jnp.concatenate([a, b[None]]),
-                            tp_a, tp_b,
-                        )
-                    else:
-                        tp = jax.tree_util.tree_map(
-                            lambda b: b[None], tp_b
-                        )
-                    return state, tp
-
-                if n_periods > 0:
-                    state, tps = jax.lax.scan(
-                        period, state, None, length=n_periods
-                    )
-                    tp_parts.append(
-                        jax.tree_util.tree_map(
-                            lambda a: a.reshape(-1), tps
-                        )
-                    )
-            if n_left > 0:
-                state, tps = jax.lax.scan(interval, state, None, length=n_left)
+            for fl, count in segments:
+                state, tps = jax.lax.scan(
+                    lambda s, _, fl=fl: interval(s, None, do_resort=fl),
+                    state, None, length=count,
+                )
                 tp_parts.append(
                     jax.tree_util.tree_map(lambda a: a.reshape(-1), tps)
                 )

@@ -194,7 +194,11 @@ class ClusterSimulation:
         # measured on TPU, share=2 halves the row-issue-bound gather at
         # an identical padded-pair count (z-adjacent i-clusters overlap
         # almost completely in neighbors)
-        self.ishare = 2 if self._ilist else 1
+        self.ishare = (
+            params.ishare if params.ishare else (2 if self._ilist else 1)
+        )
+        if not self._ilist:
+            self.ishare = 1
         zsp = 8.0 / (sx * sy * params.rho)  # one i-cluster's z-extent
         r_eff = (
             params.cutneigh + 0.5 * max(sx, sy) + 1.2
@@ -354,11 +358,13 @@ class ClusterSimulation:
                         pairs.ijlist, self.n_clusters_pad, cutsq,
                         p.sigma6, p.epsilon, share=self.ishare,
                         interpret=self.interpret,
+                        approx_rcp=p.approx_rcp,
                     )
                 return lj_cluster_force_ilist_pallas(
                     clusters.xc, clusters.yc, clusters.zc, pairs.ijlist,
                     self.n_clusters_pad, cutsq, p.sigma6, p.epsilon,
                     share=self.ishare, interpret=self.interpret,
+                    approx_rcp=p.approx_rcp,
                     tc=clusters.tc, tables=self._tables_static,
                 )
             return lj_cluster_force_xla_ilist(
@@ -425,6 +431,7 @@ class ClusterSimulation:
                 xc, yc, zc, pairs.bijlist[off : off + n_k, :c_k],
                 n_k * share, cutsq, p.sigma6, p.epsilon,
                 share=share, interpret=self.interpret,
+                approx_rcp=p.approx_rcp,
                 xi=(xiP[r0:r1], yiP[r0:r1], ziP[r0:r1]),
             )
             fxs.append(fxk)
@@ -466,6 +473,48 @@ class ClusterSimulation:
             ),
             (t, pr),
         )
+
+    def _plain_scan(self, state: CStepState, n: int):
+        """Scan n plain steps carrying ONLY the nine mutable planes
+        (coords, velocities, forces). The pair lists, halo map, bbox,
+        and id tables are invariant between rebuilds; keeping them in
+        the scan carry made XLA thread (and sometimes copy) ~2 MB of
+        dead state through every step — hoisting them to closed-over
+        scan invariants removes that glue from the hot loop."""
+        p = self.params
+        npad = self.n_clusters_pad
+        dt, dtf = p.dt, self.dtforce
+        cl0 = state.clusters
+        halo, pairs = state.halo, state.pairs
+
+        def body(mv, _):
+            xc, yc, zc, vx, vy, vz, fx, fy, fz = mv
+            vx = vx + dtf * fx
+            vy = vy + dtf * fy
+            vz = vz + dtf * fz
+            xc = xc.at[:npad].add(dt * vx)
+            yc = yc.at[:npad].add(dt * vy)
+            zc = zc.at[:npad].add(dt * vz)
+            cl = cl0._replace(xc=xc, yc=yc, zc=zc)
+            cl = update_cluster_pbc(cl, halo, npad, False)
+            fx, fy, fz = self._force_from(cl, pairs)
+            vx = vx + dtf * fx
+            vy = vy + dtf * fy
+            vz = vz + dtf * fz
+            if p.dense_thermo:
+                t, pr = self._thermo(vx, vy, vz)
+            else:
+                t = pr = jnp.zeros((), vx.dtype)
+            return (cl.xc, cl.yc, cl.zc, vx, vy, vz, fx, fy, fz), (t, pr)
+
+        mv0 = (cl0.xc, cl0.yc, cl0.zc, state.vxc, state.vyc, state.vzc,
+               state.fxc, state.fyc, state.fzc)
+        mv, tp = jax.lax.scan(body, mv0, None, length=n)
+        xc, yc, zc, vx, vy, vz, fx, fy, fz = mv
+        return state._replace(
+            clusters=cl0._replace(xc=xc, yc=yc, zc=zc),
+            vxc=vx, vyc=vy, vzc=vz, fxc=fx, fyc=fy, fzc=fz,
+        ), tp
 
     def _reneigh_step(self, state: CStepState):
         p = self.params
@@ -659,7 +708,7 @@ class ClusterSimulation:
         resort = self.params.resort_every
 
         def plain_steps(state, n):
-            return jax.lax.scan(self._plain_step, state, None, length=n)
+            return self._plain_scan(state, n)
 
         def interval(state, full: bool):
             if prune:
@@ -713,9 +762,7 @@ class ClusterSimulation:
                 temps = jnp.concatenate([temps, tps[0].reshape(-1)])
                 press = jnp.concatenate([press, tps[1].reshape(-1)])
             if tail:
-                state, tp_t = jax.lax.scan(
-                    self._plain_step, state, None, length=tail
-                )
+                state, tp_t = self._plain_scan(state, tail)
                 temps = jnp.concatenate([temps, tp_t[0]])
                 press = jnp.concatenate([press, tp_t[1]])
             return state, (temps, press)
@@ -772,27 +819,40 @@ class ClusterSimulation:
             return False
 
         def pad8(x):
-            return (int(x) + 7) // 8 * 8
+            return max(8, (int(x) + 7) // 8 * 8)
 
-        srt = np.sort(nji)
+        # bucket-size granularity: n_k * share clusters must tile into
+        # 16-cluster kernel units AND 8-unit revolving output blocks
+        gran = max(128 // self.ishare, 8)
+        # thermal drift margin: the planner sees the cold-ish first
+        # build; heated nji sits ~3-5 higher (assignment itself is
+        # re-sorted every rebuild, so only the distribution shift needs
+        # headroom, not per-unit identity)
+        srt = np.sort(nji) + 4
         cap_c = self.icap
-        # empty bucket: column-rounding pads ~10% of units with zero or
-        # near-zero lists — structural, so stable between resorts; they
-        # run at the minimum width instead of the full cap
-        cap_0 = 8
-        n_0 = int((srt <= cap_0 - 2).sum() * 0.97) // 64 * 64
-        # bulk bucket: the occupied units form a tight band (cold
-        # 29-35, heated ~31-36 at 131k) — cap at the p99 value + margin
-        cap_b = pad8(int(srt[int(0.99 * nu)]) + 5)
-        n_b = int(0.985 * nu) // 64 * 64 - n_0
+        # candidate caps from distribution quantiles: the empty bucket
+        # (column-rounding pads ~10% of units with near-zero lists) at
+        # the minimum width, then quantile steps through the bulk band
+        cand = [8] + [
+            pad8(srt[min(int(q * nu), nu - 1)])
+            for q in (0.30, 0.55, 0.75, 0.90, 0.985)
+        ]
         sizes, caps = [], []
-        for n_k, c_k in ((n_0, cap_0), (n_b, cap_b)):
-            if n_k >= 64 and c_k < cap_c and (not caps or c_k > caps[-1]):
-                sizes.append(n_k)
+        used = 0
+        for c_k in sorted(set(cand)):
+            if c_k >= cap_c:
+                break
+            # all units whose (margin-shifted) length fits this cap,
+            # kept slightly below the exact count so the runtime sorted
+            # assignment has slack at the boundary
+            n_fit = int((srt <= c_k).sum() * 0.99) // gran * gran - used
+            if n_fit >= gran:
+                sizes.append(n_fit)
                 caps.append(c_k)
+                used += n_fit
         if not sizes:
             return False
-        n_c = max(64, (nu - sum(sizes) + 63) // 64 * 64)
+        n_c = max(gran, (nu - used + gran - 1) // gran * gran)
         sizes.append(n_c)
         caps.append(cap_c)
         self.buckets = (tuple(sizes), tuple(caps))
@@ -872,6 +932,10 @@ class ClusterSimulation:
                 zspan_factor=(
                     self.grid.zspan_factor * 1.3
                     if flags[5] else self.grid.zspan_factor
+                ),
+                drift_xy=(
+                    self.grid.drift_xy * 1.5
+                    if flags[5] else self.grid.drift_xy
                 ),
             )
         self._build_device_state()

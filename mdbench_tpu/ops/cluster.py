@@ -62,6 +62,13 @@ class ClusterGrid(NamedTuple):
     # column edge; in a solid the amplitude is Lindemann-bounded
     # (~0.15 sigma), so a skin-sized margin covers any resort interval
     slop_xy: float = 0.35
+    # budget for a whole GROUP's xy bbox extent growth past its build
+    # column between resorts — sizes the pair-search window width
+    # (win(sx + 2*drift_xy, ...)); the coverage check fires ovf_cov
+    # when exceeded and the engine grows this margin (growing slop_xy
+    # could never help: it dilates the window and the requirement
+    # equally)
+    drift_xy: float = 0.4
 
     @property
     def nbins(self) -> int:
@@ -72,24 +79,34 @@ class ClusterGrid(NamedTuple):
 def make_cluster_grid(
     prd, cutneigh: float, rho: float, group: int,
     bin_capacity: int = 0, slop_z: float = 0.0, zspan_factor: float = 1.4,
-    slop_xy: float = 0.35,
+    slop_xy: float = 0.35, drift_xy: float = 0.4,
 ) -> ClusterGrid:
     ncx = max(1, int(math.floor(prd[0] / cutneigh)))
     ncy = max(1, int(math.floor(prd[1] / cutneigh)))
     sx, sy = prd[0] / ncx, prd[1] / ncy
-    nz = max(1, int(math.floor(prd[2] / cutneigh)))
+    # COARSE z bins: within a column, j16 centers are near-evenly
+    # spaced in z (16 consecutive z-sorted atoms each), so cut-sized z
+    # bins hold ~1.2 j16 at capacity 8 — the candidate fetch then reads
+    # ~7x more slots than clusters. Size z bins for ~4-5 j16 mean
+    # occupancy instead: same coverage, ~3x fewer fetched rows, lanes,
+    # and sort width in build_cluster_pairs (measured on the 131k
+    # workload; the stencil window below adapts automatically).
+    zbin_occ = 4.5  # target mean j16 per z bin
+    sz_t = max(zbin_occ * N_J / (rho * sx * sy), 1e-6)
+    nz = max(1, int(round(prd[2] / sz_t)))
     sz = prd[2] / nz
     # margins: cluster centers of ghost images lie within
     # cutneigh + extent/2 of the box; 2 bins cover that for bin >= cutneigh
     bin_dims = (ncx + 4, ncy + 4, nz + 4)
     if bin_capacity <= 0:
-        mean = rho * sx * sy * sz / M
-        bin_capacity = max(8, int(math.ceil(mean * 3.0 / 4.0)) * 4)
+        mean16 = rho * sx * sy * sz / N_J
+        bin_capacity = max(8, int(math.ceil(mean16 * 1.7 / 4.0)) * 4)
     if slop_z <= 0.0:
-        # bound on a 16-atom j-cluster's half-z-extent (~full extent of
-        # 16 atoms / 2, x2 headroom); bin_clusters verifies the bound at
-        # runtime and flags overflow if violated
-        slop_z = max(N_J / (sx * sy * rho), 0.6 * sz)
+        # bound on a 16-atom j-cluster's half-z-extent (full 16-atom
+        # span at mean density, which is ~2x the half-extent headroom);
+        # bin_clusters verifies the bound at runtime and flags overflow
+        # (-> slop growth) if violated
+        slop_z = max(1.15 * N_J / (sx * sy * rho), 0.5)
     # candidate window: i-entity extent + 2*(cutneigh + j-half-extent).
     # xy half-extent of any cluster is col_size/2 exactly (clusters never
     # span columns); z half-extent is bounded by slop_z (checked).
@@ -103,8 +120,10 @@ def make_cluster_grid(
         span = extent + 2.0 * (c + slop)
         return min(int(math.ceil(span / binsize)) + 1, maxdim)
 
-    wx = win(sx, cutneigh, sx / 2 + slop_xy, sx, bin_dims[0])
-    wy = win(sy, cutneigh, sy / 2 + slop_xy, sy, bin_dims[1])
+    # xy extent budgets the group's bbox growth past its build column
+    # between resorts (drift_xy — grown when the coverage check fires)
+    wx = win(sx + 2 * drift_xy, cutneigh, sx / 2 + slop_xy, sx, bin_dims[0])
+    wy = win(sy + 2 * drift_xy, cutneigh, sy / 2 + slop_xy, sy, bin_dims[1])
     wz = win(zspan, cutneigh, slop_z, sz, bin_dims[2])
     return ClusterGrid(
         col_dims=(ncx, ncy),
@@ -118,6 +137,7 @@ def make_cluster_grid(
         prd=tuple(prd),
         cutneigh=cutneigh,
         slop_xy=slop_xy,
+        drift_xy=drift_xy,
     )
 
 
@@ -255,8 +275,21 @@ def build_clusters(
     # PAIR is all-sentinel — the j16 list padding target
     total = n_clusters_pad + ghost_capacity + 2
 
+    # padding coordinates carry a per-slot displacement so no two
+    # padding atoms ever coincide: a partially-filled i-unit's padding
+    # vs a partially-filled j16's padding at the SAME sentinel value
+    # would give rsq == 0 <= cutsq and alias the exact-list min test
+    # (derive_ilists), inflating nji for column-tail units. The offset
+    # (>= 1e24) keeps |pad - anything| astronomically large while
+    # |pad| stays sentinel-detectable (all checks use < SENTINEL/2).
+    slot_rank = (
+        jnp.arange(n_clusters_pad, dtype=jnp.float32)[:, None] * M
+        + jnp.arange(M, dtype=jnp.float32)[None, :]
+    )
+    pad_coord = (SENTINEL_COORD * (1.0 + slot_rank * 1e-6)).astype(dtype)
+
     def plane(coord_col):
-        v = jnp.where(valid, xl[atom_rows, coord_col], SENTINEL_COORD)
+        v = jnp.where(valid, xl[atom_rows, coord_col], pad_coord)
         full = jnp.full((total, M), SENTINEL_COORD, dtype)
         return full.at[:n_clusters_pad].set(v)
 
@@ -741,6 +774,11 @@ def derive_ilists(
     (share*8-atom i-unit) x (16-atom j-cluster) granularity, against
     cutneigh so the list survives a reneighbor interval).
 
+    (An nj-sorted bucketed variant that scanned quantile-matched list
+    widths per group bucket was measured SLOWER on the 131k workload —
+    the permutation gathers cost more than the ~25% narrower scan
+    saved — and was removed; see PERF.md round 3.)
+
     This feeds the `ilist` force kernels: measured on TPU, the force
     path splits between the packed row GATHER (row-issue-bound,
     ~400M rows/s regardless of width) and the VPU math (bound by PADDED
@@ -772,56 +810,74 @@ def derive_ilists(
     yi_all = clusters.yc[:n_clusters_pad].reshape(ng, group * M)
     zi_all = clusters.zc[:n_clusters_pad].reshape(ng, group * M)
     cutsq = cutneigh * cutneigh
-    lpos = jnp.arange(L, dtype=jnp.int32)
 
-    def chunk_fn(g0):
-        gs = g0 + jnp.arange(chunk, dtype=jnp.int32)
-        gsafe = jnp.where(gs < ng, gs, 0)
-        jl = jl_all[gsafe]  # (chunk, L)
-        # lane-layout note: j-atoms are FLATTENED onto the lane axis
-        # (L*16 lanes) and i-atoms sit on sublanes — the naive
-        # (..., L, 16) shape leaves 16 of 128 lanes live and measured
-        # 16 ms at 131k; this layout + two-stage min runs the same math
-        # at full lane occupancy. The plane split is the measured-fast
-        # 4-D transpose of one packed gather.
-        rows = packed48[jl]  # (chunk, L, 48)
-        pl3 = jnp.transpose(
-            rows.reshape(chunk, L, 3, 16), (0, 2, 1, 3)
-        ).reshape(chunk, 3, 1, 1, L * 16)
-        xj = pl3[:, 0]
-        yj = pl3[:, 1]
-        zj = pl3[:, 2]
-        xi = xi_all[gsafe].reshape(chunk, gs_units, share * M, 1)
-        yi = yi_all[gsafe].reshape(chunk, gs_units, share * M, 1)
-        zi = zi_all[gsafe].reshape(chunk, gs_units, share * M, 1)
-        dx = xi - xj
-        dy = yi - yj
-        dz = zi - zj
-        rsq = dx * dx + dy * dy + dz * dz
-        mina = jnp.min(rsq, axis=2)  # over i-atoms -> (chunk, u, L*16)
-        mind = jnp.min(
-            mina.reshape(chunk, gs_units, L, 16), axis=3
-        )  # per-j16 minor-dim min -> (chunk, gs_units, L)
-        keep = (mind <= cutsq) & (lpos[None, None, :] < nj_all[gsafe][:, None, None])
-        nji = jnp.sum(keep, axis=2).astype(jnp.int32)
-        # stable compaction: kept entries first, z order kept. A bitonic
-        # sort on a single packed key (drop-flag * L + position) — NOT a
-        # cumsum + scatter, which is ~4x slower in context on TPU
-        # (dynamic-index scatter lowering)
-        key = jnp.where(keep, lpos, L + lpos)
-        jlb = jnp.broadcast_to(jl[:, None, :], keep.shape)
-        # keys are distinct positions, so an unstable sort is already
-        # deterministic (is_stable would add an iota operand)
-        sk, sj = jax.lax.sort(
-            (key, jlb), num_keys=1, dimension=2, is_stable=False
-        )
-        ijl = jnp.where(sk[:, :, :icap] < L, sj[:, :, :icap], sentinel16)
-        return ijl, nji
+    def make_chunk_fn(Lk):
+        lpos = jnp.arange(Lk, dtype=jnp.int32)
 
+        def chunk_fn(g0):
+            gi = g0 + jnp.arange(chunk, dtype=jnp.int32)
+            gsafe = jnp.where(gi < ng, gi, 0)
+            jl = jl_all[gsafe][:, :Lk]  # (chunk, Lk)
+            # lane-layout note: j-atoms are FLATTENED onto the lane axis
+            # (Lk*16 lanes) and i-atoms sit on sublanes — the naive
+            # (..., Lk, 16) shape leaves 16 of 128 lanes live and
+            # measured 16 ms at 131k; this layout + two-stage min runs
+            # the same math at full lane occupancy. The plane split is
+            # the measured-fast 4-D transpose of one packed gather.
+            rows = packed48[jl]  # (chunk, Lk, 48)
+            pl3 = jnp.transpose(
+                rows.reshape(chunk, Lk, 3, 16), (0, 2, 1, 3)
+            ).reshape(chunk, 3, 1, 1, Lk * 16)
+            xj = pl3[:, 0]
+            yj = pl3[:, 1]
+            zj = pl3[:, 2]
+            xi = xi_all[gsafe].reshape(chunk, gs_units, share * M, 1)
+            yi = yi_all[gsafe].reshape(chunk, gs_units, share * M, 1)
+            zi = zi_all[gsafe].reshape(chunk, gs_units, share * M, 1)
+            dx = xi - xj
+            dy = yi - yj
+            dz = zi - zj
+            rsq = dx * dx + dy * dy + dz * dz
+            mina = jnp.min(rsq, axis=2)  # over i-atoms -> (chunk, u, Lk*16)
+            mind = jnp.min(
+                mina.reshape(chunk, gs_units, Lk, 16), axis=3
+            )  # per-j16 minor-dim min -> (chunk, gs_units, Lk)
+            keep = (
+                (mind <= cutsq)
+                & (lpos[None, None, :] < nj_all[gsafe][:, None, None])
+            )
+            nji = jnp.sum(keep, axis=2).astype(jnp.int32)
+            # stable compaction: kept entries first, z order kept. A
+            # bitonic sort on a single packed key (drop-flag * Lk +
+            # position) — NOT a cumsum + scatter, which is ~4x slower
+            # in context on TPU (dynamic-index scatter lowering)
+            key = jnp.where(keep, lpos, Lk + lpos)
+            jlb = jnp.broadcast_to(jl[:, None, :], keep.shape)
+            # keys are distinct positions, so an unstable sort is
+            # already deterministic (is_stable would add an iota)
+            sk, sj = jax.lax.sort(
+                (key, jlb), num_keys=1, dimension=2, is_stable=False
+            )
+            ncap = min(icap, Lk)
+            ijl = jnp.where(
+                sk[:, :, :ncap] < Lk, sj[:, :, :ncap], sentinel16
+            )
+            if ncap < icap:
+                ijl = jnp.concatenate(
+                    [ijl, jnp.full(
+                        (chunk, gs_units, icap - ncap), sentinel16,
+                        jnp.int32,
+                    )],
+                    axis=2,
+                )
+            return ijl, nji
+
+        return chunk_fn
+
+    n_units = n_clusters_pad // share
     ngpad = ((ng + chunk - 1) // chunk) * chunk
     starts = jnp.arange(0, ngpad, chunk, dtype=jnp.int32)
-    ijls, njis = jax.lax.map(chunk_fn, starts)
-    n_units = n_clusters_pad // share
+    ijls, njis = jax.lax.map(make_chunk_fn(L), starts)
     ijlist = ijls.reshape(-1, icap)[:n_units]
     nji = njis.reshape(-1)[:n_units]
     return pairs._replace(

@@ -732,7 +732,7 @@ def _kernel_ilist(
     xj_ref, yj_ref, zj_ref, xi_ref, yi_ref, zi_ref,
     *rest,
     share: int, W: int, cutforcesq: float, sigma6: float,
-    epsilon: float, tables=None,
+    epsilon: float, tables=None, approx_rcp: bool = False,
 ):
     """Single-pass exact-list force: for each i-cluster, the whole
     (8, icap*16) pair tile is computed ONCE — distances, gf, and all
@@ -799,7 +799,13 @@ def _kernel_ilist(
             rsq = dx * dx + dy * dy + dz * dz
             mask = (rsq < cutsq) & (rsq > 0.0)
             rs = jnp.where(mask, rsq, 1.0)
-            sr2 = 1.0 / rs
+            if approx_rcp:
+                # VPU approx reciprocal + one Newton step: ~1 ulp in
+                # f32 at 3 cheap ops vs the multi-op exact divide
+                r0a = pl.reciprocal(rs, approx=True)
+                sr2 = r0a * (2.0 - rs * r0a)
+            else:
+                sr2 = 1.0 / rs
             sr6 = sr2 * sr2 * sr2 * sig6
             gf = jnp.where(mask, 48.0 * eps * sr6 * (sr6 - 0.5) * sr2, 0.0)
             px = dx * gf
@@ -838,6 +844,7 @@ def lj_cluster_force_ilist_pallas(
     cutforcesq: float, sigma6: float, epsilon: float,
     share: int = 2,
     interpret: bool = False,
+    approx_rcp: bool = False,
     xi=None,  # optional (xi_x, xi_y, xi_z) (n_clusters_pad, 8) i-side
     # planes — the bucketed force path passes PERMUTED i-planes while
     # the j-gather still reads the full original planes (ghost rows)
@@ -883,6 +890,9 @@ def lj_cluster_force_ilist_pallas(
         share=share, W=W,
         cutforcesq=float(cutforcesq), sigma6=float(sigma6),
         epsilon=float(epsilon), tables=tables,
+        approx_rcp=(
+            bool(approx_rcp) and not interpret and dtype == jnp.float32
+        ),
     )
     xj_block = pl.BlockSpec((gb, W), lambda b: (b, 0), memory_space=pltpu.VMEM)
     xi_block = pl.BlockSpec(

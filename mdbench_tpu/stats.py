@@ -42,6 +42,7 @@ def compute_cluster_stats(
     cutforcesq: float,
     cutneighsq: float,
     chunk: int = 16,
+    buckets=None,  # engine capacity buckets ((sizes), (caps)) if active
 ) -> dict:
     """EXACT cluster-scheme counters (reference clusterpair/stats.c:
     26-85): processed cluster pairs, real atom-pair interactions, and
@@ -54,7 +55,8 @@ def compute_cluster_stats(
 
     if pairs.ijlist is not None:
         return _compute_ilist_stats(
-            clusters, pairs, n_clusters_pad, cutforcesq, cutneighsq
+            clusters, pairs, n_clusters_pad, cutforcesq, cutneighsq,
+            buckets=buckets,
         )
 
     ng, _, L = pairs.jlist.shape
@@ -129,6 +131,7 @@ def compute_cluster_stats(
 def _compute_ilist_stats(
     clusters, pairs, n_clusters_pad: int,
     cutforcesq: float, cutneighsq: float, chunk: int = 256,
+    buckets=None,
 ) -> dict:
     """Exact counters for the exact-list (kernel=ilist*) path: the
     kernel processes every (i-unit row, listed j16) pair tile, so the
@@ -183,13 +186,24 @@ def _compute_ilist_stats(
     starts = jnp.arange(0, nupad, chunk, dtype=jnp.int32)
     pf, pn, ci = jax.lax.map(jax.jit(chunk_fn), starts)
     cl_proc = int(nji.sum())
+    # padded-pair accounting follows what the kernel EXECUTES: with
+    # capacity buckets active each bucket runs at its own cap, not the
+    # flat icap (the whole point of the bucketed path)
+    if buckets is not None and pairs.bijlist is not None:
+        sizes, caps = buckets
+        padded = sum(
+            n_k * share * 8 * c_k * 16 for n_k, c_k in zip(sizes, caps)
+        )
+    else:
+        padded = nu * share * 8 * icap * 16
+    tiles = padded // (8 * 128)  # (8-row, 128-lane)-tile equivalents
     return dict(
         pairs_within_cutforce=int(np.asarray(pf.sum())),
         pairs_within_cutneigh=int(np.asarray(pn.sum())),
         clusters_within_cutoff=int(np.asarray(ci.sum())),
         clusters_processed=cl_proc,
-        tiles=nu * icap * 2,  # (8-row, 128-lane)-tile equivalents
-        padded_pairs=nu * share * 8 * icap * 16,
+        tiles=tiles,
+        padded_pairs=padded,
     )
 
 

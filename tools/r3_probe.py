@@ -186,17 +186,6 @@ def main():
 
         print("  derive_ilists      : %.3f ms" % (timeit(ph_derive, *args) * 1e3))
 
-        if sim.buckets is not None:
-            from mdbench_tpu.ops.cluster import attach_bucket_maps
-
-            def ph_buckets(xc, yc, zc):
-                pr = attach_bucket_maps(
-                    pairs, npad, sim.ishare, cl.xc.shape[0], *sim.buckets)
-                return pr.bijlist
-
-            print("  attach_buckets     : %.3f ms"
-                  % (timeit(ph_buckets, *args) * 1e3))
-
     print("nj stats: mean=%.1f max=%d  nji mean=%.1f max=%d"
           % (float(jnp.mean(pairs.nj)), int(jnp.max(pairs.nj)),
              float(jnp.mean(pairs.nji)), int(jnp.max(pairs.nji))))

@@ -35,7 +35,7 @@ HELP = """MD Bench (TPU): A performance-oriented prototyping harness for MD algo
 --xtc <string>:             XTC trajectory output file
 --scheme <verlet|cluster>:  neighbor scheme (TPU axis; reference OPT_SCHEME)
 --precision <sp|dp>:        floating point precision (reference DATA_TYPE)
---kernel <auto|xla|pallas|pallas_ds|pallas_mxu>: force-kernel backend
+--kernel <auto|ilist|ilist_pl|xla|pallas>: force-kernel backend
                             (pallas = streaming-DMA; _ds/_mxu = A/B twins)
 --trace-index <prefix>:     dump INDEX_TRACER-style neighbor-index trace
                             of the initial lists (reference tracing.h:47-123)

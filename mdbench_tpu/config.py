@@ -102,8 +102,8 @@ class Params:
     # Force-kernel backend (cluster scheme): "ilist_pl" (exact shared
     # lists + single-pass Pallas kernel — the TPU fast path), "ilist"
     # (same lists, fused-XLA twin — the CPU/parity/typed path), "xla"
-    # (group-shared-list XLA kernel), "pallas" (streaming Pallas
-    # kernel), "pallas_ds" / "pallas_mxu" (Pallas comparison twins).
+    # (group-shared-list XLA kernel), "pallas" (streaming group-window
+    # Pallas kernel — used by the multi-chip domain engine and stub).
     # "auto" = "ilist_pl" on TPU, "ilist" on CPU.
     kernel: str = "auto"
     # i-clusters sharing one exact list (cluster scheme, ilist kernels):

@@ -44,7 +44,6 @@ from mdbench_tpu.ops.cluster import (
     update_cluster_pbc,
 )
 from mdbench_tpu.ops.pallas.lj_cluster import (
-    lj_cluster_force_pallas,
     lj_cluster_force_ilist_pallas,
     lj_cluster_force_pallas_stream,
     lj_cluster_force_xla,
@@ -89,7 +88,7 @@ def _kernel_mode(params: Params) -> str:
 
 
 def _use_pallas(params: Params) -> bool:
-    return _kernel_mode(params) in ("pallas", "pallas_ds", "pallas_mxu")
+    return _kernel_mode(params) == "pallas"
 
 
 class ClusterSimulation:
@@ -375,26 +374,13 @@ class ClusterSimulation:
                 share=self.ishare,
             )
         if _use_pallas(p):
-            # "pallas" / "auto" -> streaming kernel (j-tiles pre-gathered
-            # per step, zero in-kernel dynamic slices); "pallas_ds" keeps
-            # the round-1 dynamic-slice kernel as a comparison twin
-            # (single-type only)
-            if p.kernel == "pallas_ds" and not typed:
-                return lj_cluster_force_pallas(
-                    clusters.xc, clusters.yc, clusters.zc, pairs.jlist,
-                    pairs.ranges, self.n_clusters_pad, GROUP, cutsq,
-                    p.sigma6, p.epsilon, interpret=self.interpret,
-                )
-            if p.kernel == "pallas_mxu" and not typed:
-                from mdbench_tpu.ops.pallas.lj_cluster import (
-                    lj_cluster_force_pallas_mxu,
-                )
-
-                return lj_cluster_force_pallas_mxu(
-                    clusters.xc, clusters.yc, clusters.zc, pairs.jlist,
-                    pairs.ranges, self.n_clusters_pad, GROUP, cutsq,
-                    p.sigma6, p.epsilon, interpret=self.interpret,
-                )
+            # "pallas" -> streaming group-window kernel (j-tiles
+            # pre-gathered per step, zero in-kernel dynamic slices).
+            # Round-3 hardware A/B at 131k (PERF.md): stream 5.31 ms vs
+            # dynamic-slice twin 6.23 and MXU-reduction twin 12.2 —
+            # the losing twins were deleted; the exact-list kernels
+            # (ilist*) beat all group-window forms by >2x and are the
+            # default.
             return lj_cluster_force_pallas_stream(
                 clusters.xc, clusters.yc, clusters.zc, pairs.jlist,
                 pairs.ranges, self.n_clusters_pad, GROUP, cutsq,

@@ -101,17 +101,26 @@ def read_trr(path: str):
 
 class TrajectoryWriter:
     """Reference xtc.h-compatible API: xtc_init / xtc_write / xtc_end
-    (src/clusterpair/xtc.{c,h})."""
+    (src/clusterpair/xtc.{c,h}). Format by extension: `.trr` ->
+    uncompressed TRR (this module); anything else (incl. `.xtc`, the
+    reference's format) -> real XTC via the XDR 3dfcoord codec in
+    io/xtc.py."""
 
     def __init__(self, path: str, box):
-        if not path.endswith(".trr"):
-            path = path + ".trr"
+        if "." not in path.rsplit("/", 1)[-1]:
+            path = path + ".xtc"
         self.path = path
         self.box = box
+        self.is_trr = path.endswith(".trr")
         self.fp = open(path, "wb")
 
     def write(self, x, step: int, time: float, v=None):
-        write_trr_frame(self.fp, np.asarray(x), self.box, step, time, v)
+        if self.is_trr:
+            write_trr_frame(self.fp, np.asarray(x), self.box, step, time, v)
+        else:
+            from mdbench_tpu.io.xtc import write_xtc_frame
+
+            write_xtc_frame(self.fp, np.asarray(x), self.box, step, time)
 
     def end(self):
         self.fp.close()

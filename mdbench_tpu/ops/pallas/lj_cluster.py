@@ -3,11 +3,15 @@ compute kernel (replaces the reference's AVX Simd4xN/Simd2xNN and CUDA
 kernels, src/clusterpair/force_lj.c:167-1199, forceCuda.cu:190-262).
 
 Shape mapping (SURVEY §2.5): one VPU tile = (8 sublanes = the 8 atoms of
-an i-cluster) x (128 lanes = 16 j-clusters x 8 atoms). A group of G=16
-i-clusters shares one j-list, so the 48 VMEM loads that assemble a
-j-tile are amortized over G compute tiles. All cluster coordinate planes
-live in VMEM for the whole kernel (a few MB — the entire point of the
-cluster layout: loads are contiguous dynamic slices, never gathers).
+an i-cluster) x (128 lanes = 16 j-clusters x 8 atoms). Two kernel
+families survive the round-3 hardware A/B (PERF.md; the dynamic-slice
+and MXU-reduction twins measured 6.2 / 12.2 ms vs stream 5.3 and ilist
+2.3-2.8 at 131k and were deleted):
+- ilist (default): exact per-i-unit lists + single-pass straight-line
+  kernel — every operand pre-gathered planar by XLA, zero in-kernel
+  dynamic slices, each pair tile computed once;
+- stream: group-shared z-windowed lists + per-member tile-range
+  skipping (used by the multi-chip domain engine and the stub).
 
 Layout rules learned the hard way (all enforced below):
 - no array with a materialized minor dim < 128 leaves the kernel: the
@@ -41,194 +45,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 GROUP = 16  # i-clusters per shared j-list; GROUP*8 = 128 output lanes
-
-
-def _kernel(
-    jl_ref, rg_ref, pk_ref, xc_ref, yc_ref, zc_ref,
-    fx_ref, fy_ref, fz_ref,
-    sx, sy, sz, ax, ay, az,
-    *, list_cap: int, cutforcesq: float, sigma6: float, epsilon: float,
-    approx_rcp: bool,
-):
-    g = pl.program_id(0)
-    njg = rg_ref[0, 0, 2 * GROUP]  # this group's tile-loop bound
-    base_cluster = g * GROUP
-
-    xi = xc_ref[pl.ds(base_cluster, GROUP), :]  # (16, 8)
-    yi = yc_ref[pl.ds(base_cluster, GROUP), :]
-    zi = zc_ref[pl.ds(base_cluster, GROUP), :]
-
-    ax[:] = jnp.zeros_like(ax)
-    ay[:] = jnp.zeros_like(ay)
-    az[:] = jnp.zeros_like(az)
-
-    # hoist all i-side relayouts ((8,) row -> (8,1) sublane vector) out of
-    # the j loop — recomputing them per tile dominated the kernel
-    xis = [xi[ic, :].reshape(8, 1) for ic in range(GROUP)]
-    yis = [yi[ic, :].reshape(8, 1) for ic in range(GROUP)]
-    zis = [zi[ic, :].reshape(8, 1) for ic in range(GROUP)]
-    starts = [rg_ref[0, 0, ic] for ic in range(GROUP)]
-    ends = [rg_ref[0, 0, GROUP + ic] for ic in range(GROUP)]
-
-    def load_slab(jg):
-        """Issue the 8 packed-row loads for slab jg (clamped).
-        Loads are j-cluster (1, 48) rows of [x0..15 | y0..15 | z0..15]."""
-        jg = jnp.clip(jg, 0, jnp.maximum(njg - 1, 0))  # njg can be 0
-        rows = []
-        for k in range(8):
-            cj = jl_ref[0, 0, jg * 8 + k]
-            rows.append(pk_ref[pl.ds(cj, 1), :])  # (1, 48)
-        return tuple(rows)
-
-    def jg_body(jg, rows):
-        """Software-pipelined: compute slab jg-1 from rows loaded last
-        iteration while this iteration's loads are in flight — dynamic
-        VMEM loads are latency-bound, not throughput-bound, so hiding
-        them behind the tile math is worth ~2x."""
-        next_rows = load_slab(jg)
-
-        @pl.when(jg >= 1)
-        def _():
-            for k in range(8):
-                row = rows[k]
-                sx[0:1, 16 * k : 16 * (k + 1)] = row[0:1, 0:16]
-                sy[0:1, 16 * k : 16 * (k + 1)] = row[0:1, 16:32]
-                sz[0:1, 16 * k : 16 * (k + 1)] = row[0:1, 32:48]
-            xj = sx[:]
-            yj = sy[:]
-            zj = sz[:]
-            slab = jg - 1
-            for ic in range(GROUP):
-                # per-member z-window: skip the whole tile when this
-                # i-cluster can't reach any j in this slab — a real
-                # scalar branch, which is how per-cluster pruning
-                # survives group-shared loads
-                active = (slab >= starts[ic]) & (slab < ends[ic])
-
-                @pl.when(active)
-                def _(ic=ic):
-                    xic = xis[ic]
-                    yic = yis[ic]
-                    zic = zis[ic]
-                    dx = xic - xj
-                    dy = yic - yj
-                    dz = zic - zj
-                    rsq = dx * dx + dy * dy + dz * dz
-                    # rsq > 0 excludes the only id-equal pairs (an atom
-                    # vs itself on the cluster diagonal has rsq == 0
-                    # exactly), so no atom-id compare is needed at all
-                    mask = (rsq < cutforcesq) & (rsq > 0.0)
-                    rs = jnp.where(mask, rsq, 1.0)
-                    if approx_rcp:
-                        sr2 = pl.reciprocal(rs, approx=True)
-                    else:
-                        sr2 = 1.0 / rs
-                    sr6 = sr2 * sr2 * sr2 * sigma6
-                    gf = jnp.where(
-                        mask, 48.0 * epsilon * sr6 * (sr6 - 0.5) * sr2, 0.0
-                    )
-                    r0 = ic * 8
-                    ax[r0 : r0 + 8, :] += dx * gf
-                    ay[r0 : r0 + 8, :] += dy * gf
-                    az[r0 : r0 + 8, :] += dz * gf
-
-        return next_rows
-
-    rows0 = load_slab(jnp.int32(0))
-    jax.lax.fori_loop(1, njg + 1, jg_body, rows0)
-
-    # lane reduction: out[0, s] = sum_l acc[s, l] via a dot_general that
-    # contracts the rhs lane dim (output lane s = accumulator sublane s,
-    # i.e. atom (s // 8) of cluster base+... packed 16 clusters x 8 atoms)
-    ones = jnp.ones((1, 128), ax.dtype)
-    dn = (((1,), (1,)), ((), ()))
-    row = g % 8
-    fx_ref[0, row, :] = jax.lax.dot_general(
-        ones, ax[:], dn, preferred_element_type=ax.dtype
-    )[0]
-    fy_ref[0, row, :] = jax.lax.dot_general(
-        ones, ay[:], dn, preferred_element_type=ay.dtype
-    )[0]
-    fz_ref[0, row, :] = jax.lax.dot_general(
-        ones, az[:], dn, preferred_element_type=az.dtype
-    )[0]
-
-
-def lj_cluster_force_pallas(
-    xc, yc, zc,  # (C_total, 8) coordinate planes (i-side reads)
-    jlist,  # (NG, 1, L) int32 — 16-atom j-cluster ids
-    ranges,  # (NG, 1, 2*GROUP+1) int32 per-member tile windows
-    n_clusters_pad: int,
-    group: int,
-    cutforcesq: float,
-    sigma6: float,
-    epsilon: float,
-    interpret: bool = False,
-    approx_rcp: bool = False,
-):
-    """Returns (fxc, fyc, fzc) each (n_clusters_pad, 8)."""
-    ng, _, list_cap = jlist.shape
-    assert group == GROUP, "pallas kernel is specialized to GROUP=16"
-    assert list_cap % 8 == 0
-    assert ng * group == n_clusters_pad
-    assert ng % 8 == 0, "n_clusters_pad must be a multiple of 8*GROUP"
-    assert xc.shape[0] % 2 == 0, "row count must pair into j16 clusters"
-    rdim = ranges.shape[2]
-    dtype = xc.dtype
-    cj = xc.shape[0] // 2
-    # interleaved j16 plane [x0..15 | y0..15 | z0..15] per 16-atom cluster
-    packed = jnp.concatenate(
-        [xc.reshape(cj, 16), yc.reshape(cj, 16), zc.reshape(cj, 16)],
-        axis=1,
-    )
-
-    kern = functools.partial(
-        _kernel,
-        list_cap=list_cap,
-        cutforcesq=float(cutforcesq), sigma6=float(sigma6),
-        epsilon=float(epsilon), approx_rcp=bool(approx_rcp),
-    )
-    out_block = pl.BlockSpec(
-        (1, 8, 128), lambda g: (g // 8, 0, 0), memory_space=pltpu.VMEM
-    )
-    out = pl.pallas_call(
-        kern,
-        grid=(ng,),
-        in_specs=[
-            pl.BlockSpec((1, 1, list_cap), lambda g: (g, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, rdim), lambda g: (g, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=[out_block, out_block, out_block],
-        out_shape=[
-            jax.ShapeDtypeStruct((ng // 8, 8, 128), dtype),
-            jax.ShapeDtypeStruct((ng // 8, 8, 128), dtype),
-            jax.ShapeDtypeStruct((ng // 8, 8, 128), dtype),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((1, 128), dtype),
-            pltpu.VMEM((1, 128), dtype),
-            pltpu.VMEM((1, 128), dtype),
-            pltpu.VMEM((GROUP * 8, 128), dtype),
-            pltpu.VMEM((GROUP * 8, 128), dtype),
-            pltpu.VMEM((GROUP * 8, 128), dtype),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-        interpret=interpret,
-    )(jlist, ranges, packed, xc, yc, zc)
-    fx, fy, fz = out
-    return (
-        fx.reshape(n_clusters_pad, 8),
-        fy.reshape(n_clusters_pad, 8),
-        fz.reshape(n_clusters_pad, 8),
-    )
 
 
 def _kernel_stream(
@@ -340,147 +156,6 @@ def _kernel_stream(
     fz_ref[0, row, :] = jax.lax.dot_general(
         ones, az[:], dn, preferred_element_type=az.dtype
     )[0]
-
-
-def _kernel_stream_mxu(
-    rg_ref, xj_ref, yj_ref, zj_ref, xi_ref, yi_ref, zi_ref,
-    fx_ref, fy_ref, fz_ref,
-    bmat, acc,
-    *, nslab: int, cutforcesq: float, sigma6: float, epsilon: float,
-    approx_rcp: bool,
-):
-    """MXU-offload variant (PERF.md queue item d): per tile, the force
-    reduction runs as ONE lane-contracting dot gf(8,128) @ [Xj | 1] ->
-    (8,4) [sum gf*xj, sum gf*yj, sum gf*zj, sum gf], replacing the three
-    (8,128) fma accumulators and the final lane reduction:
-
-        f_i = xi * sum_j gf - sum_j gf * xj   (per component)
-
-    The distance math stays on the VPU (an MXU cross-term would need
-    f32 matmuls where bf16 loses the cancellation in |xi - xj|^2).
-    Output layout: (NG, 8, 128) with lane = member i-cluster (16 of 128
-    lanes used) — per-ic (8,1) columns store at static lane offsets, and
-    the XLA wrapper transposes back; the sublane->lane relayout that the
-    accumulator layout of the base kernel needs is avoided entirely."""
-    njg = rg_ref[0, 0, 2 * GROUP]
-
-    acc[:] = jnp.zeros_like(acc)  # (GROUP*8, 128): rows = ic*8+s, lanes 0:4
-
-    xis = [xi_ref[ic, :].reshape(8, 1) for ic in range(GROUP)]
-    yis = [yi_ref[ic, :].reshape(8, 1) for ic in range(GROUP)]
-    zis = [zi_ref[ic, :].reshape(8, 1) for ic in range(GROUP)]
-    starts = [rg_ref[0, 0, ic] for ic in range(GROUP)]
-    ends = [rg_ref[0, 0, GROUP + ic] for ic in range(GROUP)]
-    dn = (((1,), (1,)), ((), ()))  # contract lane dims: (8,128)x(4,128)->(8,4)
-
-    for s in range(nslab):
-        @pl.when(s < njg)
-        def _(s=s):
-            xj = xj_ref[0, s : s + 1, :]
-            yj = yj_ref[0, s : s + 1, :]
-            zj = zj_ref[0, s : s + 1, :]
-            bmat[0:1, :] = xj
-            bmat[1:2, :] = yj
-            bmat[2:3, :] = zj
-            bmat[3:4, :] = jnp.ones_like(xj)
-            B = bmat[0:4, :]
-            for ic in range(GROUP):
-                active = (s >= starts[ic]) & (s < ends[ic])
-
-                @pl.when(active)
-                def _(ic=ic):
-                    dx = xis[ic] - xj
-                    dy = yis[ic] - yj
-                    dz = zis[ic] - zj
-                    rsq = dx * dx + dy * dy + dz * dz
-                    mask = (rsq < cutforcesq) & (rsq > 0.0)
-                    rs = jnp.where(mask, rsq, 1.0)
-                    if approx_rcp:
-                        sr2 = pl.reciprocal(rs, approx=True)
-                    else:
-                        sr2 = 1.0 / rs
-                    sr6 = sr2 * sr2 * sr2 * sigma6
-                    gf = jnp.where(
-                        mask, 48.0 * epsilon * sr6 * (sr6 - 0.5) * sr2, 0.0
-                    )
-                    r0 = ic * 8
-                    acc[r0 : r0 + 8, 0:4] += jax.lax.dot_general(
-                        gf, B, dn, preferred_element_type=gf.dtype
-                    )
-
-    g = pl.program_id(0)
-    del g
-    for ic in range(GROUP):
-        r0 = ic * 8
-        p = acc[r0 : r0 + 8, 0:4]
-        gsum = p[:, 3:4]
-        fx_ref[0, 0:8, ic : ic + 1] = xis[ic] * gsum - p[:, 0:1]
-        fy_ref[0, 0:8, ic : ic + 1] = yis[ic] * gsum - p[:, 1:2]
-        fz_ref[0, 0:8, ic : ic + 1] = zis[ic] * gsum - p[:, 2:3]
-
-
-def lj_cluster_force_pallas_mxu(
-    xc, yc, zc, jlist, ranges,
-    n_clusters_pad: int, group: int,
-    cutforcesq: float, sigma6: float, epsilon: float,
-    interpret: bool = False, approx_rcp: bool = False,
-):
-    """MXU-reduction streaming kernel (A/B twin of
-    lj_cluster_force_pallas_stream, single-type)."""
-    ng, _, L = jlist.shape
-    assert group == GROUP and L % TILE_J_STREAM == 0
-    assert ng * group == n_clusters_pad
-    nslab = L // TILE_J_STREAM
-    rdim = ranges.shape[2]
-    dtype = xc.dtype
-    xj, yj, zj = repack_jtiles(xc, yc, zc, jlist)
-
-    kern = functools.partial(
-        _kernel_stream_mxu, nslab=nslab,
-        cutforcesq=float(cutforcesq), sigma6=float(sigma6),
-        epsilon=float(epsilon), approx_rcp=bool(approx_rcp),
-    )
-    jt_block = pl.BlockSpec(
-        (1, nslab, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
-    )
-    xi_block = pl.BlockSpec(
-        (GROUP, 8), lambda g: (g, 0), memory_space=pltpu.VMEM
-    )
-    out_block = pl.BlockSpec(
-        (1, 8, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
-    )
-    out = pl.pallas_call(
-        kern,
-        grid=(ng,),
-        in_specs=[
-            pl.BlockSpec((1, 1, rdim), lambda g: (g, 0, 0),
-                         memory_space=pltpu.SMEM),
-            jt_block, jt_block, jt_block,
-            xi_block, xi_block, xi_block,
-        ],
-        out_specs=[out_block, out_block, out_block],
-        out_shape=[
-            jax.ShapeDtypeStruct((ng, 8, 128), dtype),
-            jax.ShapeDtypeStruct((ng, 8, 128), dtype),
-            jax.ShapeDtypeStruct((ng, 8, 128), dtype),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((8, 128), dtype),
-            pltpu.VMEM((GROUP * 8, 128), dtype),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-        interpret=interpret,
-    )(ranges, xj, yj, zj, xc, yc, zc)
-
-    def unpack(a):
-        # (NG, 8 atoms, 16 ic lanes) -> (NG, 16, 8) -> (n_clusters_pad, 8)
-        return a[:, :, :GROUP].transpose(0, 2, 1).reshape(
-            n_clusters_pad, 8
-        )
-
-    return unpack(out[0]), unpack(out[1]), unpack(out[2])
 
 
 def repack_jtiles(xc, yc, zc, jlist, tc=None):

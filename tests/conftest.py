@@ -15,3 +15,9 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Single-vCPU environment: persistent compilation cache makes repeat test
+# runs pay jit compile once, not every invocation (the full tier is
+# minutes of XLA:CPU compile otherwise).
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

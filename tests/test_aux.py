@@ -134,7 +134,7 @@ def test_trr_roundtrip(tmp_path):
     rng = np.random.default_rng(1)
     x1 = rng.random((100, 3)) * 10
     x2 = x1 + 0.1
-    w = xtc_init(str(tmp_path / "traj"), box=(10.0, 11.0, 12.0))
+    w = xtc_init(str(tmp_path / "traj.trr"), box=(10.0, 11.0, 12.0))
     xtc_write(w, x1, step=0, time=0.0)
     xtc_write(w, x2, step=20, time=0.1)
     xtc_end(w)
@@ -145,3 +145,52 @@ def test_trr_roundtrip(tmp_path):
     np.testing.assert_allclose(x, x1, atol=1e-5)
     assert frames[1][0] == 20
     np.testing.assert_allclose(frames[1][3], x2, atol=1e-5)
+
+
+def test_xtc_roundtrip_compressed(tmp_path):
+    """Real XTC (XDR 3dfcoord, reference xtc.c:13-65): lossy at the
+    stated precision; the decoder must invert the encoder exactly at
+    integer level, so |err| <= 0.5/precision."""
+    from mdbench_tpu.io.xtc import read_xtc, write_xtc_frame
+
+    rng = np.random.default_rng(7)
+    # clustered coords exercise the small-delta run-length path (the
+    # encoder reorders near pairs), spread ones the key-atom path
+    base = rng.random((40, 3)) * 8
+    x1 = np.repeat(base, 3, axis=0) + rng.random((120, 3)) * 0.05
+    x2 = x1 + (rng.random((120, 3)) - 0.5) * 0.3
+    path = str(tmp_path / "traj.xtc")
+    with open(path, "wb") as fp:
+        write_xtc_frame(fp, x1, (10.0, 11.0, 12.0), step=0, time=0.0)
+        write_xtc_frame(fp, x2, (10.0, 11.0, 12.0), step=20, time=0.1)
+    frames = read_xtc(path)
+    assert len(frames) == 2
+    assert frames[0]["step"] == 0 and frames[1]["step"] == 20
+    np.testing.assert_allclose(frames[0]["box"][0, 0], 10.0)
+    np.testing.assert_allclose(frames[0]["x"], x1, atol=0.5001e-3)
+    np.testing.assert_allclose(frames[1]["x"], x2, atol=0.5001e-3)
+    # compression actually engaged (file much smaller than raw floats)
+    import os
+
+    assert os.path.getsize(path) < 2 * (16 + 36 + 120 * 12)
+
+
+def test_xtc_small_system_uncompressed(tmp_path):
+    from mdbench_tpu.io.xtc import read_xtc, write_xtc_frame
+
+    x = np.arange(27, dtype=np.float64).reshape(9, 3) * 0.37
+    path = str(tmp_path / "small.xtc")
+    with open(path, "wb") as fp:
+        write_xtc_frame(fp, x, (5.0, 5.0, 5.0))
+    f = read_xtc(path)[0]
+    np.testing.assert_allclose(f["x"], x, atol=1e-6)
+
+
+def test_xtc_writer_dispatch_by_extension(tmp_path):
+    from mdbench_tpu.io.xtc import read_xtc
+
+    x = np.random.default_rng(3).random((64, 3)) * 6
+    w = xtc_init(str(tmp_path / "t.xtc"), box=(6.0, 6.0, 6.0))
+    xtc_write(w, x, step=0, time=0.0)
+    xtc_end(w)
+    np.testing.assert_allclose(read_xtc(w.path)[0]["x"], x, atol=6e-4)

@@ -4,6 +4,7 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 
 from mdbench_tpu.cli import parse_args
 
@@ -29,6 +30,7 @@ def test_parse_args_tpu_axes():
     assert p.kernel == "pallas"
 
 
+@pytest.mark.slow
 def test_cli_end_to_end_output_block():
     env_code = (
         "import jax; jax.config.update('jax_platforms','cpu');"

@@ -21,7 +21,7 @@ def test_cluster_first_force_matches_dense():
     np.testing.assert_allclose(f, np.asarray(f_ref), rtol=1e-9, atol=1e-9)
 
 
-@pytest.mark.parametrize("kern", ["pallas", "pallas_ds", "pallas_mxu"])
+@pytest.mark.parametrize("kern", ["pallas"])
 def test_cluster_pallas_interpret_matches_xla(kern):
     """Pallas kernels in interpreter mode == XLA oracle (small box).
     'pallas' is the streaming kernel; 'pallas_ds' the dynamic-slice

@@ -43,6 +43,7 @@ def test_eam_overrides_applied():
     assert p.rho == pytest.approx(0.07041125)
 
 
+@pytest.mark.slow
 def test_eam_short_run_stable():
     p = Params(nx=4, ny=4, nz=4, force_field=FF_EAM, eam_file=EAM_FILE,
                ntimes=30, reneigh_every=10)

@@ -17,11 +17,14 @@ agree to FP-summation-order noise (~1e-7 relative) across 100 steps and
 (SURVEY §4 validation mechanism 2).
 """
 
+
 import numpy as np
 import pytest
 
 from mdbench_tpu.config import FF_EAM, Params
 from mdbench_tpu.engine import Simulation
+
+pytestmark = pytest.mark.slow  # trajectory/engine tier: run with the full suite
 
 # step -> (temperature, pressure), LJ 6x6x6, DP, defaults otherwise
 GOLDEN_LJ = {

@@ -2,6 +2,7 @@
 the 8-device virtual CPU mesh (SURVEY §4: 'multi-node without a real
 cluster')."""
 
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -15,6 +16,8 @@ from mdbench_tpu.parallel.domain import (
     make_mesh,
     make_sharded_step,
 )
+
+pytestmark = pytest.mark.slow  # trajectory/engine tier: run with the full suite
 
 
 @pytest.mark.parametrize("ndev", [1, 2, 4, 8])

@@ -8,6 +8,9 @@ import numpy as np
 
 from mdbench_tpu.config import Params
 from mdbench_tpu.engine_cluster import ClusterSimulation
+import pytest
+
+pytestmark = pytest.mark.slow  # trajectory/engine tier: run with the full suite
 
 
 def test_cheap_rebuild_force_parity_with_full():

@@ -56,6 +56,7 @@ def test_half_list_is_half():
     assert nn_full * 0.5 <= nn_half < nn_full * 0.75
 
 
+@pytest.mark.slow
 def test_short_run_matches_dense_trajectory():
     """20 steps through the full engine == 20 steps of dense-force Verlet."""
     p = Params(nx=3, ny=3, nz=3, ntimes=20, reneigh_every=5)
@@ -88,6 +89,7 @@ def test_short_run_matches_dense_trajectory():
     np.testing.assert_allclose(xe, np.asarray(x), rtol=1e-8, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_resort_every_preserves_trajectory():
     """Spatial resort (reference sortAtom every resort_every steps,
     neighbor.c:360-426) only permutes atom order — the trajectory must
@@ -98,6 +100,7 @@ def test_resort_every_preserves_trajectory():
     np.testing.assert_allclose(out_sort.temps, out_plain.temps, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_reneighbor_preserves_energy_150_steps():
     """Longer run: TOTAL energy (KE + LJ potential) drift over 150 DP
     steps and several reneighbors stays within the velocity-Verlet

@@ -74,49 +74,58 @@ def main():
 
         print("  force total        : %.3f ms" % (timeit(f_force, *args) * 1e3))
 
-        # gather + planarize only (the ilist row fetch)
+        # gather + planarize only (the ilist row fetch). Every bucket's
+        # output feeds the probe result — a tail-only return lets XLA
+        # DCE the other buckets and report fantasy numbers.
         from mdbench_tpu.ops.pallas.lj_cluster import gather_ilist_rows
 
-        if pairs.bijlist is not None:
-            sizes, caps = sim.buckets
-
-            def f_gather(xc, yc, zc):
-                outs = []
+        def _buckets_iter():
+            if pairs.bijlist is not None:
                 off = 0
-                for n_k, c_k in zip(sizes, caps):
-                    outs.append(gather_ilist_rows(
-                        xc, yc, zc, pairs.bijlist[off:off + n_k, :c_k]))
+                for n_k, c_k in zip(*sim.buckets):
+                    yield pairs.bijlist[off:off + n_k, :c_k]
                     off += n_k
-                return outs[-1]
-        else:
-            def f_gather(xc, yc, zc):
-                return gather_ilist_rows(xc, yc, zc, pairs.ijlist)
+            else:
+                yield pairs.ijlist
+
+        def f_gather(xc, yc, zc):
+            acc = 0.0
+            for bl in _buckets_iter():
+                acc = acc + gather_ilist_rows(xc, yc, zc, bl)[0, 0, 0]
+            return acc
 
         print("  gather rows        : %.3f ms" % (timeit(f_gather, *args) * 1e3))
 
-        # gather + planarize (the full preamble the kernel consumes)
         def f_planar(xc, yc, zc):
-            outs = []
-            if pairs.bijlist is not None:
-                off = 0
-                for n_k, c_k in zip(sim.buckets[0], sim.buckets[1]):
-                    rows = gather_ilist_rows(
-                        xc, yc, zc, pairs.bijlist[off:off + n_k, :c_k])
-                    W = c_k * 16
-                    nu = n_k
-                    outs.append(rows[:, :, 0:16].reshape(nu, W)
-                                + rows[:, :, 16:32].reshape(nu, W)
-                                + rows[:, :, 32:48].reshape(nu, W))
-                    off += n_k
-                return outs[-1]
-            rows = gather_ilist_rows(xc, yc, zc, pairs.ijlist)
-            nu, icap = pairs.ijlist.shape
-            W = icap * 16
-            return (rows[:, :, 0:16].reshape(nu, W)
+            acc = 0.0
+            for bl in _buckets_iter():
+                rows = gather_ilist_rows(xc, yc, zc, bl)
+                nu, icap = bl.shape
+                W = icap * 16
+                acc = acc + (
+                    rows[:, :, 0:16].reshape(nu, W)
                     + rows[:, :, 16:32].reshape(nu, W)
-                    + rows[:, :, 32:48].reshape(nu, W))
+                    + rows[:, :, 32:48].reshape(nu, W)
+                )[0, 0]
+            return acc
 
         print("  gather+planarize   : %.3f ms" % (timeit(f_planar, *args) * 1e3))
+
+        if pairs.bcrows is not None:
+            def f_xip(xc, yc, zc):
+                return (xc[pairs.bcrows][0, 0] + yc[pairs.bcrows][0, 0]
+                        + zc[pairs.bcrows][0, 0])
+
+            print("  xiP gathers        : %.3f ms"
+                  % (timeit(f_xip, *args) * 1e3))
+
+            def f_binv(xc, yc, zc):
+                inv = pairs.binv
+                return (xc[:npad][inv][0, 0] + yc[:npad][inv][0, 0]
+                        + zc[:npad][inv][0, 0])
+
+            print("  binv out-gathers   : %.3f ms"
+                  % (timeit(f_binv, *args) * 1e3))
 
         # integrate + ghost refresh only
         def f_intg(xc, yc, zc):

@@ -174,6 +174,17 @@ def kernel_ab(quick=False):
     def f_repack(xc, yc, zc):
         return repack_jtiles(xc, yc, zc, pairs2.jlist)
 
+    def f_half(xc, yc, zc):
+        from mdbench_tpu.ops.pallas.lj_cluster import (
+            lj_cluster_force_xla_half,
+        )
+        # half-list semantics just gate pairs; timing the full list
+        # through the half kernel measures the same op mix the engine
+        # runs with half_neigh=1 (list contents don't change op counts)
+        return lj_cluster_force_xla_half(
+            xc, yc, zc, pairs2.jlist, npad, GROUP, cutsq, p.sigma6,
+            p.epsilon)
+
     args = (cl.xc, cl.yc, cl.zc)
     print("FORCE ilist  : %.3f ms (%.0fM padded pairs)"
           % (timeit(f_ilist, *args) * 1e3, npad * 8 * sim.icap * 16 / 1e6))
@@ -184,6 +195,13 @@ def kernel_ab(quick=False):
                  npad * 8 * sim.list_cap * 16 / 1e6))
         print("FORCE stream : %.3f ms" % (timeit(f_stream, *args) * 1e3))
         print("REPACK gather: %.3f ms" % (timeit(f_repack, *args) * 1e3))
+        for name, fn in (("xla_half", f_half),):
+            try:
+                t = timeit(fn, *args)
+                print("FORCE %-8s: %.3f ms" % (name, t * 1e3))
+            except Exception as e:
+                print("FORCE %-8s: FAILED (%s)"
+                      % (name, str(e).splitlines()[0][:100]))
 
     # reneighbor decomposition: time each device phase standalone
     from mdbench_tpu.ops.cluster import (

@@ -35,8 +35,10 @@ HELP = """MD Bench (TPU): A performance-oriented prototyping harness for MD algo
 --xtc <string>:             XTC trajectory output file
 --scheme <verlet|cluster>:  neighbor scheme (TPU axis; reference OPT_SCHEME)
 --precision <sp|dp>:        floating point precision (reference DATA_TYPE)
---kernel <auto|ilist|ilist_pl|xla|pallas>: force-kernel backend
-                            (pallas = streaming-DMA; _ds/_mxu = A/B twins)
+--kernel <auto|ilist|ilist_pl|xla|pallas|rowlist>: force-kernel backend
+                            (cluster: ilist* exact-list kernels, pallas =
+                            streaming group windows; verlet: rowlist =
+                            packed-row TPU fast path, xla = planar)
 --trace-index <prefix>:     dump INDEX_TRACER-style neighbor-index trace
                             of the initial lists (reference tracing.h:47-123)
 --trace-mem <prefix>:       dump MEM_TRACER-style address-stream trace

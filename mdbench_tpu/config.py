@@ -105,6 +105,10 @@ class Params:
     # (group-shared-list XLA kernel), "pallas" (streaming group-window
     # Pallas kernel — used by the multi-chip domain engine and stub).
     # "auto" = "ilist_pl" on TPU, "ilist" on CPU.
+    # Verlet scheme: "rowlist" (packed 16-atom-row lists + the same
+    # single-pass kernel — the verlet TPU fast path; fused-XLA twin on
+    # CPU/DP), "xla" (planar per-atom kernels). "auto" = rowlist on
+    # TPU, planar on CPU. Half lists / type tables always run planar.
     kernel: str = "auto"
     # i-clusters sharing one exact list (cluster scheme, ilist kernels):
     # 0 = auto (measured-best per backend). Larger share = fewer

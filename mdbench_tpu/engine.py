@@ -42,7 +42,11 @@ from mdbench_tpu.ops.integrate import (
     wrap_into_box,
 )
 from mdbench_tpu.ops.pbc import ghost_types, setup_pbc, update_pbc
-from mdbench_tpu.ops.verlet import build_neighbors
+from mdbench_tpu.ops.verlet import (
+    build_neighbors,
+    compute_force_lj_rowlist,
+    derive_rowlists,
+)
 from mdbench_tpu.state import SENTINEL_COORD, Halo, NeighborList
 from mdbench_tpu.thermo import (
     ThermoScales,
@@ -160,8 +164,37 @@ class Simulation:
             x, v, types = x[perm], v[perm], types[perm]
         self._x0, self._v0, self._types0 = x, v, types
 
+        # TPU fast path for the verlet scheme: packed 16-atom-row lists
+        # + the single-pass exact-list Pallas kernel (kernel="rowlist"
+        # forces it anywhere, with the fused-XLA twin on CPU; "auto"
+        # uses it on TPU). Single-type full-neighbor LJ only — half
+        # lists and type tables stay on the planar kernels.
+        self._rowlist = (
+            params.force_field == FF_LJ
+            and not params.half_neigh
+            and params.ntypes == 1
+            and (
+                params.kernel == "rowlist"
+                or (
+                    params.kernel == "auto"
+                    and jax.default_backend() == "tpu"
+                )
+            )
+        )
+        # Pallas only for f32 on TPU (Mosaic can't lower f64 converts);
+        # DP runs ride the fused-XLA twin of the same kernel
+        self._rowlist_backend = (
+            "pallas"
+            if jax.default_backend() == "tpu" and params.precision == "sp"
+            else "xla"
+        )
+        self.rcap = 64  # row-list capacity; grown on overflow
+        # the Pallas kernel's revolving output blocks need
+        # nlocal_pad/8/16 % 8 == 0
+        pad_unit = 1024 if self._rowlist else 256
         self.caps = Capacities(
-            nlocal_pad=((self.nlocal + 255) // 256) * 256,
+            nlocal_pad=((self.nlocal + pad_unit - 1) // pad_unit)
+            * pad_unit,
             ghost=_estimate_ghost_capacity(params, self.nlocal),
             maxneighs=_estimate_maxneighs(params),
             cell=self.grid.capacity,
@@ -174,7 +207,11 @@ class Simulation:
         p, caps = self.params, self.caps
         dtype = p.dtype
         self.grid = self.grid._replace(capacity=caps.cell)
-        nrows = caps.nlocal_pad + caps.ghost + 1
+        # row count: locals, ghost slots, then >= 16 sentinel rows
+        # rounded so nrows % 16 == 0 — the last 16-atom row is pure
+        # sentinel, the padding target of the row lists (and row
+        # nrows-1 stays the per-atom lists' sentinel row)
+        nrows = (caps.nlocal_pad + caps.ghost + 16 + 15) // 16 * 16
         xp = np.full((nrows, 3), SENTINEL_COORD, np.float64)
         xp[: self.nlocal] = self._x0
         vp = np.zeros((caps.nlocal_pad, 3), np.float64)
@@ -231,6 +268,11 @@ class Simulation:
         halo = setup_pbc(
             x, self.nlocal, caps.nlocal_pad, caps.ghost, self.prd,
             (p.pbc_x, p.pbc_y, p.pbc_z), p.cutneigh,
+            # rowlist path: cell-sorted ghosts keep ghost 16-rows
+            # spatially compact (halves the per-unit row unions);
+            # off elsewhere so DP golden trajectories keep the
+            # reference's ghost summation order bit-for-bit
+            sort_grid=self.grid if self._rowlist else None,
         )
         types = ghost_types(types, halo, caps.nlocal_pad)
         x = update_pbc(x, halo, caps.nlocal_pad)
@@ -242,6 +284,12 @@ class Simulation:
             half=bool(p.half_neigh),
         )
         overflow = halo.overflow | nlist.overflow
+        if self._rowlist:
+            rows, numrows, rovf = derive_rowlists(
+                nlist, caps.nlocal_pad, x.shape[0], self.rcap
+            )
+            nlist = nlist._replace(rows=rows, numrows=numrows)
+            overflow = overflow | rovf
         return x, types, halo, nlist, overflow
 
     def _force(self, x, types, nlist, halo):
@@ -256,6 +304,13 @@ class Simulation:
                     x, nlist.neighbors, nlist.numneigh, self.nlocal,
                     caps.nlocal_pad, self.cutforcesq, p.sigma6, p.epsilon,
                     types=types, tables=self.tables,
+                )
+            if self._rowlist:
+                return compute_force_lj_rowlist(
+                    x, nlist.rows, caps.nlocal_pad, self.cutforcesq,
+                    p.sigma6, p.epsilon,
+                    backend=self._rowlist_backend,
+                    approx_rcp=p.approx_rcp,
                 )
             return lj_ops.compute_force_lj_full(
                 x, nlist.neighbors, nlist.numneigh, caps.nlocal_pad,
@@ -296,13 +351,33 @@ class Simulation:
         # reneigh 20 -> steps 100, 200, ...).
         resort = p.resort_every if p.sort_atoms else 0
 
-        def plain_step(state: StepState, _):
-            x, v = initial_integrate(state.x, state.v, state.f, dt, dtforce, nlocal)
-            x = update_pbc(x, state.halo, caps.nlocal_pad)
-            f = self._force(x, state.types, state.nlist, state.halo)
-            v = final_integrate(v, f, dtforce, nlocal)
-            t, pr = compute_thermo(v, nlocal, mass, scales)
-            return state._replace(x=x, v=v, f=f), (t, pr)
+        def thermo(v):
+            if p.dense_thermo:
+                return compute_thermo(v, nlocal, mass, scales)
+            z = jnp.zeros((), v.dtype)
+            return z, z
+
+        def plain_scan(state: StepState, n: int):
+            """n plain steps carrying ONLY (x, v, f): the lists, halo,
+            and types are rebuild-invariant — keeping them in the scan
+            carry makes XLA thread (and sometimes copy) the ~100 MB
+            neighbor array through every step (same lesson as
+            engine_cluster._plain_scan)."""
+            halo, nlist, types = state.halo, state.nlist, state.types
+
+            def body(mv, _):
+                x, v, f = mv
+                x, v = initial_integrate(x, v, f, dt, dtforce, nlocal)
+                x = update_pbc(x, halo, caps.nlocal_pad)
+                f = self._force(x, types, nlist, halo)
+                v = final_integrate(v, f, dtforce, nlocal)
+                t, pr = thermo(v)
+                return (x, v, f), (t, pr)
+
+            (x, v, f), tp = jax.lax.scan(
+                body, (state.x, state.v, state.f), None, length=n
+            )
+            return state._replace(x=x, v=v, f=f), tp
 
         def reneigh_step(state: StepState, do_resort: bool = False):
             x, v = initial_integrate(state.x, state.v, state.f, dt, dtforce, nlocal)
@@ -316,6 +391,9 @@ class Simulation:
             x, types, halo, nlist, ovf = self._reneighbor(x, v, types)
             f = self._force(x, types, nlist, halo)
             v = final_integrate(v, f, dtforce, nlocal)
+            # reneighbor-boundary thermo always computed (like
+            # engine_cluster): the golden gate reads these rows even
+            # with dense_thermo off
             t, pr = compute_thermo(v, nlocal, mass, scales)
             new_state = StepState(
                 x=x, v=v, f=f, types=types, halo=halo, nlist=nlist,
@@ -324,7 +402,7 @@ class Simulation:
             return new_state, (t, pr)
 
         def interval(state: StepState, _, do_resort: bool = False):
-            state, tp_a = jax.lax.scan(plain_step, state, None, length=every - 1)
+            state, tp_a = plain_scan(state, every - 1)
             state, tp_b = reneigh_step(state, do_resort)
             tp = jax.tree_util.tree_map(
                 lambda a, b: jnp.concatenate([a, b[None]]), tp_a, tp_b
@@ -356,7 +434,7 @@ class Simulation:
                     jax.tree_util.tree_map(lambda a: a.reshape(-1), tps)
                 )
             if tail:
-                state, tp_t = jax.lax.scan(plain_step, state, None, length=tail)
+                state, tp_t = plain_scan(state, tail)
                 tp_parts.append(tp_t)
             if tp_parts:
                 temps = jnp.concatenate([t[0] for t in tp_parts])
@@ -414,14 +492,19 @@ class Simulation:
                     force_time=float("nan"),
                     neigh_time=float("nan"),
                 )
-            # Grow capacities and retry (reference RESIZE semantics).
-            self.caps = self.caps._replace(
-                ghost=int(self.caps.ghost * 1.5),
-                maxneighs=int(self.caps.maxneighs * 1.3) // 8 * 8 + 8,
-                cell=int(self.caps.cell * 1.5) // 8 * 8 + 8,
-            )
-            self._build_device_state()
+            self._grow_caps()
         raise RuntimeError("capacity overflow persisted after retries")
+
+    def _grow_caps(self):
+        """Grow every overflowable capacity and rebuild device state
+        (reference RESIZE semantics)."""
+        self.caps = self.caps._replace(
+            ghost=int(self.caps.ghost * 1.5),
+            maxneighs=int(self.caps.maxneighs * 1.3) // 8 * 8 + 8,
+            cell=int(self.caps.cell * 1.5) // 8 * 8 + 8,
+        )
+        self.rcap = int(self.rcap * 1.6 + 7) // 8 * 8
+        self._build_device_state()
 
     def run_chunked(self, chunk: int, nchunks: int, callback):
         """Run in host-visible chunks for trajectory output: the fused
@@ -500,5 +583,9 @@ class Simulation:
     # Convenience for tests ------------------------------------------------
 
     def first_force(self) -> np.ndarray:
-        state = self.initial_state()
-        return np.asarray(state.f[: self.nlocal])
+        for _ in range(5):
+            state = self.initial_state()
+            if not bool(np.asarray(state.overflow)):
+                return np.asarray(state.f[: self.nlocal])
+            self._grow_caps()
+        raise RuntimeError("capacity overflow persisted after retries")

@@ -18,6 +18,7 @@ from __future__ import annotations
 import math
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -56,9 +57,14 @@ def make_cell_grid(prd, cutneigh: float, rho: float, capacity: int = 0) -> CellG
     nb = [max(1, int(math.floor(p / cutneigh))) for p in prd]
     bs = [p / n for p, n in zip(prd, nb)]
     if capacity <= 0:
-        # expected atoms per bin x 1.75 safety, rounded up to 8
+        # expected atoms per bin x 1.35 safety, rounded up to 8. Kept
+        # tight on purpose: the neighbor build's compaction sort runs
+        # over 27*capacity lanes padded to a power of two, so capacity
+        # 40 -> 32 halves the sort (1080 -> 864 pads 2048 -> 1024);
+        # rare hot bins overflow into the grow-and-retry loop instead
+        # of taxing every rebuild.
         mean = rho * bs[0] * bs[1] * bs[2]
-        capacity = int(math.ceil(mean * 1.75 / 8.0)) * 8
+        capacity = int(math.ceil(mean * 1.35 / 8.0)) * 8
     return CellGrid(
         nbins_interior=tuple(nb),
         dims=tuple(n + 2 for n in nb),
@@ -103,8 +109,20 @@ def build_cells(grid: CellGrid, x: jnp.ndarray) -> CellList:
     nrows = x.shape[0]
     sentinel_row = nrows - 1
     ids = coord_to_bin(grid, x)
-    order = jnp.argsort(ids)  # stable
-    sorted_ids = ids[order]
+    kbits = max(int(nrows - 1).bit_length(), 1)
+    if (grid.nbins + 1) << kbits < 2**32:
+        # single packed uint32 key (bin << kbits | row): one plain sort
+        # instead of a variadic argsort — measured ~2x on TPU, and the
+        # row bits make the sort stable by construction
+        key = (
+            ids.astype(jnp.uint32) << kbits
+        ) | jnp.arange(nrows, dtype=jnp.uint32)
+        skey = jax.lax.sort(key)
+        order = (skey & jnp.uint32((1 << kbits) - 1)).astype(jnp.int32)
+        sorted_ids = (skey >> kbits).astype(ids.dtype)
+    else:
+        order = jnp.argsort(ids)  # stable
+        sorted_ids = ids[order]
     starts = jnp.searchsorted(sorted_ids, jnp.arange(grid.nbins + 1, dtype=ids.dtype))
     rank = jnp.arange(nrows, dtype=jnp.int32) - starts[sorted_ids].astype(jnp.int32)
 

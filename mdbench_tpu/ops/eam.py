@@ -21,7 +21,12 @@ import jax.numpy as jnp
 
 
 class EamDevice(NamedTuple):
-    """Device-resident spline tables."""
+    """Device-resident spline tables.
+
+    rhor and z2r are indexed by the SAME r-grid index m, so the force
+    path gathers them as one packed (nr+1, 14) row table — per-pair row
+    gathers are issue-bound (~400M rows/s, PERF.md lesson 1), so one
+    14-wide gather costs half of two 7-wide ones."""
 
     rhor: jnp.ndarray  # (nr+1, 7)
     frho: jnp.ndarray  # (nrho+1, 7)
@@ -30,6 +35,10 @@ class EamDevice(NamedTuple):
     rdrho: float
     nr: int
     nrho: int
+
+    @property
+    def rz_packed(self) -> jnp.ndarray:  # (nr+1, 14) [rhor | z2r]
+        return jnp.concatenate([self.rhor, self.z2r], axis=1)
 
 
 def _grid_index(r_or_rho, rd, n):
@@ -75,9 +84,20 @@ def compute_force_eam(
 
     m, p = _grid_index(r, eam.rdr, eam.nr)
 
-    # pass 1: embedding density (force_eam.c:60-90)
-    rs = eam.rhor[m]  # (N, K, 7)
+    # ONE packed row gather serves both passes: rhor and z2r share the
+    # index m, and per-pair gathers are row-issue-bound, so [rhor|z2r]
+    # rows at 14 wide cost the same as 7 wide (PERF.md lesson 1). The
+    # four spline values are derived immediately so only (N, K) planes
+    # stay live across the fp exchange, not the (N, K, 14) rows.
+    rows = eam.rz_packed[m]  # (N, K, 14)
+    rs = rows[..., 0:7]
+    zs = rows[..., 7:14]
     dens = ((rs[..., 3] * p + rs[..., 4]) * p + rs[..., 5]) * p + rs[..., 6]
+    rhoip = (rs[..., 0] * p + rs[..., 1]) * p + rs[..., 2]
+    z2p = (zs[..., 0] * p + zs[..., 1]) * p + zs[..., 2]
+    z2 = ((zs[..., 3] * p + zs[..., 4]) * p + zs[..., 5]) * p + zs[..., 6]
+
+    # pass 1: embedding density (force_eam.c:60-90)
     rhoi = jnp.sum(jnp.where(mask, dens, 0.0), axis=1)  # (nlocal_pad,)
 
     mf, pf = _grid_index(rhoi, eam.rdrho, eam.nrho)
@@ -95,12 +115,6 @@ def compute_force_eam(
         fp = fp_exchange(fp)
 
     # pass 2: pair forces (force_eam.c:122-227)
-    rsp = eam.rhor[m]
-    rhoip = (rsp[..., 0] * p + rsp[..., 1]) * p + rsp[..., 2]
-    zs = eam.z2r[m]
-    z2p = (zs[..., 0] * p + zs[..., 1]) * p + zs[..., 2]
-    z2 = ((zs[..., 3] * p + zs[..., 4]) * p + zs[..., 5]) * p + zs[..., 6]
-
     recip = 1.0 / r
     phi = z2 * recip
     phip = z2p * recip - phi * recip

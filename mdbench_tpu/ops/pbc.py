@@ -42,6 +42,7 @@ def setup_pbc(
     prd,
     pbc,
     cutneigh: float,
+    sort_grid=None,
 ) -> Halo:
     """Build the halo map (reference setupPbc semantics, pbc.c:90-227).
 
@@ -52,6 +53,13 @@ def setup_pbc(
     and every dimension with s_d != 0 has PBC enabled. Ghost order is
     (atom-major, canonical shift order) — a different enumeration order
     than the reference, which only permutes ghost indices.
+
+    sort_grid (a CellGrid, optional): additionally order ghosts by
+    their cell id. Physics-neutral (any ghost order is valid), but it
+    makes ghost 16-atom rows spatially compact, which the rowlist
+    force path's per-unit row unions depend on — unsorted ghosts give
+    each boundary unit one list entry PER ghost neighbor instead of
+    per 16 (measured: rcap 168 vs ~half with sorted ghosts at 131k).
     """
     dtype = x.dtype
     xl = x[:nlocal]
@@ -87,6 +95,15 @@ def setup_pbc(
     border_map = border_map.at[pos].set(atom_ids, mode="drop")
     shift = jnp.zeros((ghost_capacity, 3), dtype)
     shift = shift.at[pos].set(shift_vec, mode="drop")
+
+    if sort_grid is not None:
+        from mdbench_tpu.ops.cells import coord_to_bin
+
+        gx = x[border_map] + shift
+        gb = coord_to_bin(sort_grid, gx)  # padding -> trap bin (max)
+        order = jnp.argsort(gb)  # stable: in-bin order is preserved
+        border_map = border_map[order]
+        shift = shift[order]
 
     return Halo(border_map=border_map, shift=shift, nghost=nghost, overflow=overflow)
 

@@ -47,22 +47,49 @@ def build_neighbors(
     safe_bin = (1 * d[1] + 1) * d[2] + 1
     typed = cutneighsq.ndim == 2 if hasattr(cutneighsq, "ndim") else False
 
+    # Per-cell packed rows [x | y | z | id(+type)], built by ONE cell-
+    # content gather per rebuild: the stencil fetch below then reads
+    # CELL rows, not atoms. The naive per-candidate coordinate gather
+    # x[cand] issues nlocal_pad*27*capacity single-row gathers — 142M
+    # rows = ~350 ms at 131k on TPU (row gathers are issue-bound at
+    # ~400M rows/s, PERF.md lesson 1); cell rows cost 27 per atom.
+    # Atom ids ride the same rows as exact small floats (nrows < 2^24).
+    cap = cl.cells.shape[1]
+    dtype = x.dtype
+    cflat = cl.cells.reshape(-1)
+    xcell = x[cflat]  # (ncells*cap, 3)
+    planes = [xcell[:, k].reshape(-1, cap) for k in range(3)]
+    planes.append(cl.cells.astype(dtype))
+    if typed:
+        planes.append(types[cflat].reshape(-1, cap).astype(dtype))
+    pack = jnp.concatenate(planes, axis=1)  # (ncells, (4|5)*cap)
+
     def chunk_fn(start):
         i_idx = start + jnp.arange(chunk, dtype=jnp.int32)
         is_real = i_idx < nlocal
         i_safe = jnp.where(is_real, i_idx, 0)
         ib = jnp.where(is_real, cl.bin_of[i_safe], safe_bin)
         cand_bins = ib[:, None] + stencil[None, :]  # (chunk, 27)
-        cand = cl.cells[cand_bins].reshape(chunk, -1)  # (chunk, C)
+        rows = pack[cand_bins]  # (chunk, 27, (4|5)*cap)
+        C = 27 * cap
+        xjc = rows[:, :, 0:cap].reshape(chunk, C)
+        yjc = rows[:, :, cap : 2 * cap].reshape(chunk, C)
+        zjc = rows[:, :, 2 * cap : 3 * cap].reshape(chunk, C)
+        cand = (
+            rows[:, :, 3 * cap : 4 * cap].reshape(chunk, C)
+            .astype(jnp.int32)
+        )
         xi = x[i_safe]
-        xj = x[cand]  # (chunk, C, 3) — split to planes immediately (TPU
-        # pads a materialized minor dim 3 to 128 lanes; planar stays dense)
-        dxp = xi[:, 0, None] - xj[:, :, 0]
-        dyp = xi[:, 1, None] - xj[:, :, 1]
-        dzp = xi[:, 2, None] - xj[:, :, 2]
+        dxp = xi[:, 0, None] - xjc
+        dyp = xi[:, 1, None] - yjc
+        dzp = xi[:, 2, None] - zjc
         rsq = dxp * dxp + dyp * dyp + dzp * dzp
         if typed:
-            cut = cutneighsq[types[i_safe][:, None], types[cand]]
+            tj = (
+                rows[:, :, 4 * cap : 5 * cap].reshape(chunk, C)
+                .astype(jnp.int32)
+            )
+            cut = cutneighsq[types[i_safe][:, None], tj]
         else:
             cut = cutneighsq
         mask = (rsq <= cut) & (cand != i_idx[:, None]) & is_real[:, None]
@@ -113,8 +140,6 @@ def derive_rowlists(
     entries hold the sentinel row id (nrows/16 - 1, all-sentinel
     coordinates). Returns (rows (nu, rcap) int32, numrows (nu,),
     overflow)."""
-    import numpy as _np
-
     neighbors, numneigh = nlist.neighbors, nlist.numneigh
     K = neighbors.shape[1]
     assert nrows % 16 == 0 and nlocal_pad % 16 == 0 and rcap % 8 == 0
@@ -154,3 +179,52 @@ def derive_rowlists(
     rows = outs.reshape(nu, rcap)
     numrows = cnts.reshape(nu)
     return rows, numrows, jnp.any(numrows > rcap)
+
+
+def compute_force_lj_rowlist(
+    x: jnp.ndarray,  # (nrows, 3) — locals, ghosts, sentinel tail
+    rows: jnp.ndarray,  # (nlocal_pad/16, rcap) int32 row ids
+    nlocal_pad: int,
+    cutforcesq: float,
+    sigma6: float,
+    epsilon: float,
+    backend: str = "pallas",  # "pallas" (TPU) | "xla" (CPU twin)
+    approx_rcp: bool = False,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """LJ force over packed row lists — the verlet scheme's TPU fast
+    path. A 16-atom row in ATOM ORDER plays the role the cluster
+    scheme's j16 plays: one (16 i-atoms x rcap*16 j-atoms) pair tile
+    per unit, every operand pre-gathered planar by one fat row gather,
+    zero in-kernel dynamic slices. Because the row lists cover every
+    per-atom list entry at row granularity, the kernel's
+    rsq < cutforce^2 mask computes the same pair set as the planar
+    per-atom kernel (self pairs excluded by rsq > 0, sentinel padding
+    by the cutoff). Reference analogue: the dedicated verlet SIMD
+    kernel src/verletlist/force_lj-x86.c:21-112 — same role (a fast
+    full-neighbor kernel for the verlet scheme), TPU shape.
+
+    Returns (nlocal_pad, 3) like compute_force_lj_full."""
+    from mdbench_tpu.ops.pallas.lj_cluster import (
+        lj_cluster_force_ilist_pallas,
+        lj_cluster_force_xla_ilist,
+    )
+
+    assert x.shape[0] % 16 == 0 and nlocal_pad % 16 == 0
+    xc = x[:, 0].reshape(-1, 8)
+    yc = x[:, 1].reshape(-1, 8)
+    zc = x[:, 2].reshape(-1, 8)
+    n_clusters_pad = nlocal_pad // 8
+    if backend == "pallas":
+        fx, fy, fz = lj_cluster_force_ilist_pallas(
+            xc, yc, zc, rows, n_clusters_pad, cutforcesq, sigma6,
+            epsilon, share=2, approx_rcp=approx_rcp, interpret=interpret,
+        )
+    else:
+        fx, fy, fz = lj_cluster_force_xla_ilist(
+            xc, yc, zc, rows, n_clusters_pad, cutforcesq, sigma6,
+            epsilon, share=2,
+        )
+    return jnp.stack(
+        [fx.reshape(-1), fy.reshape(-1), fz.reshape(-1)], axis=1
+    )

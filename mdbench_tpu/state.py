@@ -85,6 +85,12 @@ class NeighborList(NamedTuple):
     neighbors: jnp.ndarray  # (nlocal_pad, maxneighs) int32
     numneigh: jnp.ndarray  # (nlocal_pad,) int32
     overflow: jnp.ndarray  # () bool — maxneighs exceeded
+    # TPU fast-path row lists (kernel="rowlist"/"auto"-on-TPU, LJ full
+    # lists): packed 16-atom-row ids per 16-atom i-unit, derived from
+    # the per-atom lists (ops/verlet.derive_rowlists). None on the
+    # planar-XLA path.
+    rows: jnp.ndarray | None = None  # (nlocal_pad/16, rcap) int32
+    numrows: jnp.ndarray | None = None  # (nlocal_pad/16,) int32
 
 
 def make_box(params: Params) -> Box:

@@ -15,7 +15,9 @@ Metrics (main-stub.c:280-320): Mega atom updates/s, cycles/atom,
 cycles/neighbor, optional CSV row.
 
 Usage: python -m mdbench_tpu.stub [-na N] [-nn NN] [-nr R]
-       [--pattern seq|fix|rand] [-n steps] [--csv] [-f lj|eam] [-half 0|1]
+       [--pattern seq|fix|rand] [-n steps] [--csv] [-half 0|1]
+       [-f lj|eam] [-e funcfl_file]   (EAM: verlet scheme only, like
+       the reference — clusterpair EAM is a dead stub there)
 """
 
 from __future__ import annotations
@@ -71,6 +73,8 @@ def run_stub(
     proc_freq: float = 2.4,
     csv: bool = False,
     precision: str = "sp",
+    force_field: str = "lj",
+    eam_file: str | None = None,
 ) -> dict:
     import jax
     import jax.numpy as jnp
@@ -92,14 +96,46 @@ def run_stub(
     numneigh = jnp.asarray(numneigh_h)
     cutsq = 1.0e6**2  # all pairs hit (main-stub.c:46)
 
-    def force(x):
-        if half:
+    if force_field == "eam":
+        # reference: main-stub.c:200 calls initEam, which overrides
+        # cutforce with the table cutoff (eam_utils.c:22-40); the stub
+        # then measures the two-pass EAM kernel over the synthetic
+        # lists. No ghosts in the stub -> empty fp border exchange.
+        from mdbench_tpu.models.eam_tables import load_eam
+        from mdbench_tpu.ops.eam import EamDevice, compute_force_eam
+
+        if not eam_file:
+            raise ValueError("-f eam requires -e <funcfl file>")
+        t = load_eam(eam_file)
+        eam_dev = EamDevice(
+            rhor=jnp.asarray(t.rhor_spline, dtype),
+            frho=jnp.asarray(t.frho_spline, dtype),
+            z2r=jnp.asarray(t.z2r_spline, dtype),
+            rdr=t.rdr, rdrho=t.rdrho, nr=t.nr, nrho=t.nrho,
+        )
+        cutsq = float(t.cut) ** 2
+        bmap = jnp.zeros((0,), jnp.int32)
+
+        def force(x):
+            f, _fp = compute_force_eam(
+                x, neigh, numneigh, bmap, natoms, nlocal_pad,
+                cutsq, eam_dev,
+            )
+            return f
+
+    elif half:
+
+        def force(x):
             return compute_force_lj_half(
                 x, neigh, numneigh, natoms, nlocal_pad, cutsq, 1.0, 1.0
             )
-        return compute_force_lj_full(
-            x, neigh, numneigh, nlocal_pad, cutsq, 1.0, 1.0
-        )
+
+    else:
+
+        def force(x):
+            return compute_force_lj_full(
+                x, neigh, numneigh, nlocal_pad, cutsq, 1.0, 1.0
+            )
 
     @jax.jit
     def loop(x):
@@ -122,9 +158,10 @@ def run_stub(
     cy_atom = total / natoms / ntimes * freq_hz
     cy_neigh = cy_atom / nneighs
     result = dict(
-        pattern=pattern, natoms=natoms, nneighs=nneighs, nreps=nreps,
-        ntimes=ntimes, total=total, mega_updates=upd_per_s / 1e6,
-        cycles_per_atom=cy_atom, cycles_per_neighbor=cy_neigh,
+        force_field=force_field, pattern=pattern, natoms=natoms,
+        nneighs=nneighs, nreps=nreps, ntimes=ntimes, total=total,
+        mega_updates=upd_per_s / 1e6, cycles_per_atom=cy_atom,
+        cycles_per_neighbor=cy_neigh,
     )
     if csv:
         print("steps,pattern,natoms,nneighs,nreps,time(s),atom upds/s(M),"
@@ -313,6 +350,10 @@ def main(argv=None) -> int:
             kw["ntimes"] = int(nxt())
         elif a == "-half":
             kw["half"] = bool(int(nxt()))
+        elif a == "-f":
+            kw["force_field"] = nxt()
+        elif a == "-e":
+            kw["eam_file"] = nxt()
         elif a == "--freq":
             kw["proc_freq"] = float(nxt())
         elif a == "--csv":
@@ -322,6 +363,10 @@ def main(argv=None) -> int:
         i += 1
     if scheme == "cluster":
         kw.pop("half", None)  # half lists: verlet-stub axis only
+        # EAM on the cluster scheme is a dead stub in the reference
+        # (clusterpair/force_eam.c:20-37) — same here
+        kw.pop("force_field", None)
+        kw.pop("eam_file", None)
         run_cluster_stub(**kw)
     else:
         run_stub(**kw)

@@ -34,6 +34,17 @@ def test_stub_runs(capsys):
     assert "steps,pattern" in out
 
 
+def test_stub_eam_runs():
+    """-f eam stub axis (reference main-stub.c:129,200,269): the
+    two-pass EAM kernel over synthetic lists, cutforce = table cutoff."""
+    r = run_stub(
+        natoms=512, nneighs=16, ntimes=3, force_field="eam",
+        eam_file="/root/reference/data/Cu_u3.eam",
+    )
+    assert r["mega_updates"] > 0
+    assert r["force_field"] == "eam"
+
+
 def test_checkpoint_roundtrip(tmp_path):
     p = Params(nx=3, ny=3, nz=3, ntimes=10, reneigh_every=5)
     sim = Simulation(p)

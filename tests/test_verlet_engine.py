@@ -135,3 +135,33 @@ def test_reneighbor_preserves_energy_150_steps():
     # pairs blow past this by orders of magnitude); exact force
     # correctness is pinned separately by the C-reference golden test.
     assert abs(e1 - e0) / abs(e0) < 5e-3, (e0, e1)
+
+
+def test_rowlist_force_matches_planar():
+    """kernel="rowlist" (the verlet TPU fast path: packed 16-atom-row
+    lists + exact-list kernel; XLA twin on CPU) computes the same
+    forces as the planar per-atom kernel — the row lists are a
+    row-granular superset, so the cutforce mask selects the identical
+    pair set."""
+    from mdbench_tpu.models.lattice import create_fcc_lattice
+
+    p = Params(nx=4, ny=4, nz=4)
+    x, v, _ = create_fcc_lattice(p)
+    # perturb off the perfect lattice so forces are O(1), not
+    # cancellation noise
+    x = x + np.random.default_rng(5).normal(0, 0.03, x.shape)
+    f_plain = Simulation(
+        Params(nx=4, ny=4, nz=4, kernel="xla"), x=x, v=v, adjust=False
+    ).first_force()
+    f_rows = Simulation(
+        Params(nx=4, ny=4, nz=4, kernel="rowlist"), x=x, v=v, adjust=False
+    ).first_force()
+    np.testing.assert_allclose(f_rows, f_plain, rtol=1e-10, atol=1e-10)
+
+
+@pytest.mark.slow
+def test_rowlist_short_trajectory_matches_planar():
+    base = dict(nx=3, ny=3, nz=3, ntimes=20, reneigh_every=5)
+    out_a = Simulation(Params(**base, kernel="xla")).run()
+    out_b = Simulation(Params(**base, kernel="rowlist")).run()
+    np.testing.assert_allclose(out_b.temps, out_a.temps, rtol=1e-9)

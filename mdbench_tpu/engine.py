@@ -189,6 +189,7 @@ class Simulation:
             else "xla"
         )
         self.rcap = 64  # row-list capacity; grown on overflow
+        self._rcap_calibrated = False
         # the Pallas kernel's revolving output blocks need
         # nlocal_pad/8/16 % 8 == 0
         pad_unit = 1024 if self._rowlist else 256
@@ -467,6 +468,9 @@ class Simulation:
         for attempt in range(max_retries + 1):
             state0 = self.initial_state()
             jax.block_until_ready(state0)
+            if self._calibrate_rcap(state0):
+                state0 = self.initial_state()
+                jax.block_until_ready(state0)
             run_fn = self._make_run_fn(ntimes)
             flags_dev = jnp.asarray(flags)
             # AOT-compile so the timed region is pure execution, matching
@@ -494,6 +498,24 @@ class Simulation:
                 )
             self._grow_caps()
         raise RuntimeError("capacity overflow persisted after retries")
+
+    def _calibrate_rcap(self, state0) -> bool:
+        """Shrink the row-list capacity to the observed max numrows
+        + 50% heating margin (the kernel pads EVERY unit to rcap, so a
+        slack cap taxes every step: measured rcap 104 vs max 47 at t=0
+        cost ~40% of the force pass at 131k). One-shot; run-time
+        overflow still grows rcap via the retry loop. Same scheme as
+        ClusterSimulation._calibrate_list_cap."""
+        if not self._rowlist or self._rcap_calibrated:
+            return False
+        self._rcap_calibrated = True
+        nrmax = int(jnp.max(state0.nlist.numrows))
+        target = max((int(nrmax * 1.5) + 7) // 8 * 8, 16)
+        if target >= self.rcap:
+            return False
+        self.rcap = target
+        self._build_device_state()
+        return True
 
     def _grow_caps(self):
         """Grow every overflowable capacity and rebuild device state

@@ -16,6 +16,7 @@ collectives instead of staying local.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -77,33 +78,41 @@ def setup_pbc(
     neg_ok = jnp.where(shifts[None, :, :] == -1, hi[:, None, :], True)
     valid = jnp.all(pos_ok & neg_ok, axis=2) & pbc_ok[None, :]  # (nlocal, 26)
 
-    flat_valid = valid.reshape(-1)
-    pos = jnp.cumsum(flat_valid) - 1
+    flat_valid = valid.reshape(-1)  # (nlocal*26,)
     nghost = jnp.sum(flat_valid).astype(jnp.int32)
     overflow = nghost > ghost_capacity
 
-    atom_ids = jnp.broadcast_to(
-        jnp.arange(nlocal, dtype=jnp.int32)[:, None], (nlocal, 26)
-    ).reshape(-1)
-    shift_vec = jnp.broadcast_to(
-        (shifts.astype(dtype) * prd_v)[None, :, :], (nlocal, 26, 3)
-    ).reshape(-1, 3)
-
-    pos = jnp.where(flat_valid & (pos < ghost_capacity), pos, ghost_capacity)
-    sentinel_row = x.shape[0] - 1
-    border_map = jnp.full((ghost_capacity,), sentinel_row, jnp.int32)
-    border_map = border_map.at[pos].set(atom_ids, mode="drop")
-    shift = jnp.zeros((ghost_capacity, 3), dtype)
-    shift = shift.at[pos].set(shift_vec, mode="drop")
-
+    # Packed-key sort compaction (NOT cumsum + scatter: dynamic-index
+    # scatters run at ~0.14 G elts/s on TPU — the two scatters here
+    # measured 56 ms at 131k, the sort form ~2 ms; same lesson as the
+    # cluster halo, PERF.md round 2 lesson 2). Key ranks valid
+    # candidates first — by ghost cell id when sort_grid is given
+    # (spatially compact ghost rows for the rowlist force path), else
+    # by flat candidate index (exactly the old atom-major order).
+    # Ties resolve by the index payload, so the sort is deterministic.
+    n26 = nlocal * 26
+    idx = jnp.arange(n26, dtype=jnp.int32)
     if sort_grid is not None:
         from mdbench_tpu.ops.cells import coord_to_bin
 
-        gx = x[border_map] + shift
-        gb = coord_to_bin(sort_grid, gx)  # padding -> trap bin (max)
-        order = jnp.argsort(gb)  # stable: in-bin order is preserved
-        border_map = border_map[order]
-        shift = shift[order]
+        gx = (
+            xl[:, None, :] + (shifts.astype(dtype) * prd_v)[None, :, :]
+        ).reshape(-1, 3)
+        rank = coord_to_bin(sort_grid, gx)
+    else:
+        rank = idx
+    big = jnp.int32(2**31 - 1)
+    key = jnp.where(flat_valid, rank, big)
+    _skey, sidx = jax.lax.sort((key, idx), num_keys=1, is_stable=False)
+    slot_key = _skey[:ghost_capacity]
+    slot_idx = sidx[:ghost_capacity]
+    live = slot_key < big
+    sentinel_row = x.shape[0] - 1
+    border_map = jnp.where(live, slot_idx // 26, sentinel_row)
+    shift_tab = shifts.astype(dtype) * prd_v  # (26, 3)
+    shift = jnp.where(
+        live[:, None], shift_tab[slot_idx % 26], jnp.zeros((), dtype)
+    )
 
     return Halo(border_map=border_map, shift=shift, nghost=nghost, overflow=overflow)
 

@@ -171,8 +171,11 @@ def main(argv=None) -> int:
                 np.minimum(np.asarray(state0.pairs.nj), L)
             )
         else:
-            nb = np.asarray(state0.nlist.neighbors[: sim.nlocal])
-            nn = np.asarray(state0.nlist.numneigh[: sim.nlocal])
+            nl = state0.nlist
+            if nl.neighbors.shape[0] < sim.nlocal:  # rowlist fast path
+                nl = sim.per_atom_lists(state0.x, state0.types)
+            nb = np.asarray(nl.neighbors[: sim.nlocal])
+            nn = np.asarray(nl.numneigh[: sim.nlocal])
         if params.trace_index:
             print("tracing index stream ->",
                   tracing.dump_index_trace(params.trace_index, nb, nn, 0))
@@ -293,7 +296,10 @@ def main(argv=None) -> int:
                 )
             )
         else:
-            numneigh = np.asarray(out.state.nlist.numneigh[: sim.nlocal])
+            nl = out.state.nlist
+            if nl.neighbors.shape[0] < sim.nlocal:  # rowlist fast path
+                nl = sim.per_atom_lists(out.state.x, out.state.types)
+            numneigh = np.asarray(nl.numneigh[: sim.nlocal])
             stats.accumulate_list(numneigh, params.ntimes + 1)
         float_size = 8 if params.precision == "dp" else 4
         print(

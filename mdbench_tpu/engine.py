@@ -45,7 +45,7 @@ from mdbench_tpu.ops.pbc import ghost_types, setup_pbc, update_pbc
 from mdbench_tpu.ops.verlet import (
     build_neighbors,
     compute_force_lj_rowlist,
-    derive_rowlists,
+    derive_rowlists_from_cells,
 )
 from mdbench_tpu.state import SENTINEL_COORD, Halo, NeighborList
 from mdbench_tpu.thermo import (
@@ -189,6 +189,9 @@ class Simulation:
             else "xla"
         )
         self.rcap = 64  # row-list capacity; grown on overflow
+        self.ccap = 128  # pre-prune row-candidate capacity
+        self.ucl = 4  # distinct cells per unit (small/drifted boxes grow it)
+        self.ubr = 8  # distinct 16-rows per cell
         self._rcap_calibrated = False
         # the Pallas kernel's revolving output blocks need
         # nlocal_pad/8/16 % 8 == 0
@@ -278,6 +281,23 @@ class Simulation:
         types = ghost_types(types, halo, caps.nlocal_pad)
         x = update_pbc(x, halo, caps.nlocal_pad)
         cl = build_cells(self.grid, x)
+        if self._rowlist:
+            # rowlist fast path: unit-granular list build straight from
+            # the cell table — the per-atom verlet lists (16x the gather
+            # issues and sort rows; 34 + 7.8 ms of the 94 ms rebuild at
+            # 131k) are never built. Per-atom lists for stats/tracing
+            # come from per_atom_lists() on demand.
+            rows, numrows, rovf = derive_rowlists_from_cells(
+                self.grid, cl, x, self.nlocal, caps.nlocal_pad,
+                self.rcap, p.cutneigh, brcap=self.ubr,
+                ucells=self.ucl, ccap=self.ccap,
+            )
+            dummy = jnp.zeros((1, 8), jnp.int32)
+            nlist = NeighborList(
+                neighbors=dummy, numneigh=dummy[0],
+                overflow=cl.overflow | rovf, rows=rows, numrows=numrows,
+            )
+            return x, types, halo, nlist, halo.overflow | nlist.overflow
         nlist = build_neighbors(
             self.grid, cl, x, types,
             self.cutneighsq if self.tables is None else self.tables.cutneighsq,
@@ -285,13 +305,25 @@ class Simulation:
             half=bool(p.half_neigh),
         )
         overflow = halo.overflow | nlist.overflow
-        if self._rowlist:
-            rows, numrows, rovf = derive_rowlists(
-                nlist, caps.nlocal_pad, x.shape[0], self.rcap
-            )
-            nlist = nlist._replace(rows=rows, numrows=numrows)
-            overflow = overflow | rovf
         return x, types, halo, nlist, overflow
+
+    def per_atom_lists(self, x, types) -> NeighborList:
+        """Per-atom verlet lists from current coordinates, for stats
+        and tracing consumers (reference numneigh/neighbors arrays).
+        The rowlist fast path never materializes these in the run loop."""
+        caps, p = self.caps, self.params
+
+        def build(x, types):
+            cl = build_cells(self.grid, x)
+            return build_neighbors(
+                self.grid, cl, x, types,
+                self.cutneighsq if self.tables is None
+                else self.tables.cutneighsq,
+                self.nlocal, caps.nlocal_pad, caps.maxneighs,
+                half=bool(p.half_neigh),
+            )
+
+        return jax.jit(build)(x, types)
 
     def _force(self, x, types, nlist, halo):
         with jax.named_scope("force"):  # LIKWID "force" region analogue
@@ -526,6 +558,9 @@ class Simulation:
             cell=int(self.caps.cell * 1.5) // 8 * 8 + 8,
         )
         self.rcap = int(self.rcap * 1.6 + 7) // 8 * 8
+        self.ccap = int(self.ccap * 1.5 + 7) // 8 * 8
+        self.ucl += 2
+        self.ubr += 8
         self._build_device_state()
 
     def run_chunked(self, chunk: int, nchunks: int, callback):

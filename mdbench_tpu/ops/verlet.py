@@ -181,6 +181,201 @@ def derive_rowlists(
     return rows, numrows, jnp.any(numrows > rcap)
 
 
+def derive_rowlists_from_cells(
+    grid: CellGrid,
+    cl: CellList,
+    x: jnp.ndarray,  # (nrows, 3) — locals, ghosts, sentinel tail
+    nlocal: int,
+    nlocal_pad: int,
+    rcap: int,
+    cutneigh: float,
+    brcap: int = 8,  # distinct 16-rows per cell (checked)
+    ucells: int = 4,  # distinct cells per 16-atom unit (checked)
+    ccap: int = 128,  # candidate rows per unit before the exact prune
+    chunk: int = 512,
+):
+    """Packed 16-atom-row lists derived DIRECTLY from the cell table —
+    the rowlist path's fast rebuild. Replaces per-atom verlet lists +
+    union (34 + 7.8 ms at 131k) with a unit-granular pipeline (~16x
+    fewer gather issues and sort rows): per cell, the distinct 16-rows
+    of its atoms; per 16-atom unit, the cells within its per-dim cell
+    range +-1; dedup; then the EXACT unit-row min-distance check
+    against cutneigh. The kept set is provably identical to
+    derive_rowlists' union of exact per-atom lists (a row is kept iff
+    some (i in unit, j in row) pair is within cutneigh), so forces are
+    identical. Reference analogue: buildNeighbor's stencil+cutoff
+    (src/verletlist/neighbor.c:186-264), at TPU row granularity.
+
+    Relies on ghosts being cell-sorted (setup_pbc sort_grid) and
+    locals bin-sorted at resort so rows per cell stay few (brcap).
+    Returns (rows (nu, rcap) int32, numrows, overflow)."""
+    nrows = x.shape[0]
+    assert nrows % 16 == 0 and nlocal_pad % 16 == 0 and rcap % 8 == 0
+    nu = nlocal_pad // 16
+    sent16 = nrows // 16 - 1
+    sentinel_row = nrows - 1
+    ZW = 3  # z-run width: cells z-1..z+1 as one flat-id run read
+    UC = ucells
+    _d0, d1, d2 = grid.dims
+    dtype = x.dtype
+
+    # 1. distinct 16-rows per cell (cell content is id-ascending, so
+    # r16 is non-decreasing: first-occurrence mask + small compaction
+    # sort; NOT a scatter)
+    cells = cl.cells  # (nbins+1, cap)
+    cap = cells.shape[1]
+    validc = cells != sentinel_row
+    r16 = cells // 16
+    firstc = validc & jnp.concatenate(
+        [jnp.ones((cells.shape[0], 1), bool), r16[:, 1:] != r16[:, :-1]],
+        axis=1,
+    )
+    cntc = jnp.sum(firstc, axis=1).astype(jnp.int32)
+    cpos = jnp.arange(cap, dtype=jnp.int32)[None, :]
+    ckey = jnp.where(firstc, cpos, cap + cpos)
+    sk, sr = jax.lax.sort((ckey, r16), num_keys=1, dimension=1,
+                          is_stable=False)
+    bin_rows = jnp.where(sk[:, :brcap] < cap, sr[:, :brcap], sent16)
+    bovf = jnp.any(cntc > brcap)
+    # z-run concat: row b covers cells b..b+ZW-1 (z is the fastest
+    # cell-index dim, so a z window is a flat-id run); pad tail with
+    # sentinel rows
+    pad = jnp.full((ZW, brcap), sent16, bin_rows.dtype)
+    br_pad = jnp.concatenate([bin_rows, pad], axis=0)
+    runs = jnp.concatenate(
+        [br_pad[i : i + bin_rows.shape[0]] for i in range(ZW)], axis=1
+    )  # (nbins+1, ZW*brcap)
+
+    # 2. per-unit DISTINCT cells (not a cell-index box: a unit that
+    # straddles a column boundary in the z-fastest flat order has a
+    # huge per-dim index span, but never more than a few distinct
+    # cells). Compact the <= 16 cell ids to ucells slots; padding
+    # slots repeat the first cell (harmless duplicates, deduped below).
+    ucells = UC
+    bs = jnp.asarray(grid.binsize, dtype)
+    b3 = jnp.floor(x[:nlocal_pad] / bs).astype(jnp.int32) + 1
+    b3 = jnp.clip(b3, 0, jnp.asarray(grid.dims, jnp.int32) - 1)
+    flat = (b3[:, 0] * d1 + b3[:, 1]) * d2 + b3[:, 2]
+    validu = (jnp.arange(nlocal_pad) < nlocal).reshape(nu, 16)
+    big = jnp.int32(1 << 29)
+    cu16 = jnp.where(validu, flat.reshape(nu, 16), big)
+    cs = jnp.sort(cu16, axis=1)
+    firstu = jnp.concatenate(
+        [jnp.ones((nu, 1), bool), cs[:, 1:] != cs[:, :-1]], axis=1
+    ) & (cs < big)
+    n_dc = jnp.sum(firstu, axis=1).astype(jnp.int32)
+    sovf = jnp.any(n_dc > ucells)
+    p16 = jnp.arange(16, dtype=jnp.int32)[None, :]
+    ku = jnp.where(firstu, p16, 16 + p16)
+    k2u, v2u = jax.lax.sort((ku, cs), num_keys=1, dimension=1,
+                            is_stable=False)
+    # padding slots repeat the unit's first cell; empty units get the
+    # safe interior cell (their rows are dropped by the prune mask)
+    safe_cell = (1 * d1 + 1) * d2 + 1
+    dc0 = jnp.where(k2u[:, :1] < 16, v2u[:, :1], safe_cell)
+    dcells = jnp.where(
+        k2u[:, :ucells] < 16, v2u[:, :ucells], dc0
+    )  # (nu, ucells)
+
+    # 3. candidate fetch: per distinct cell, the 3x3 xy stencil as
+    # z-runs (z is the fastest flat dim, so cells z-1..z+1 are one
+    # bin_rows run read)
+    xyoff = jnp.asarray(
+        [(dx * d1 + dy) * d2 for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
+        jnp.int32,
+    )  # (9,)
+    Wc = ucells * 9 * ZW * brcap
+
+    while nu % chunk != 0 and chunk > 1:
+        chunk //= 2
+    wpos = jnp.arange(Wc, dtype=jnp.int32)
+
+    def chunk_fn(u0):
+        us = u0 + jnp.arange(chunk, dtype=jnp.int32)
+        dcs = dcells[us]  # (chunk, ucells)
+        base = dcs[:, :, None] + xyoff[None, None, :] - 1  # run starts
+        base = jnp.clip(base, 0, cells.shape[0] - 1)
+        got = runs[base]  # (chunk, ucells, 9, ZW*brcap)
+        cand = got.reshape(chunk, Wc)
+
+        # 4. dedup: ascending sort puts copies adjacent and sentinel
+        # last; compact first occurrences via packed-key sort
+        s = jnp.sort(cand, axis=1)
+        first = jnp.concatenate(
+            [jnp.ones((chunk, 1), bool), s[:, 1:] != s[:, :-1]], axis=1
+        ) & (s != sent16)
+        nc = jnp.sum(first, axis=1).astype(jnp.int32)
+        key = jnp.where(first, wpos, Wc + wpos)
+        k2, v2 = jax.lax.sort((key, s), num_keys=1, dimension=1,
+                              is_stable=False)
+        cc = min(ccap, Wc)
+        cand_c = jnp.where(k2[:, :cc] < Wc, v2[:, :cc], sent16)
+        return cand_c, nc
+
+    starts = jnp.arange(0, nu, chunk, dtype=jnp.int32)
+    cands, ncs = jax.lax.map(chunk_fn, starts)
+    cand = cands.reshape(nu, -1)
+    covf = jnp.any(ncs.reshape(-1) > cand.shape[1])
+
+    # 5. exact prune + compaction (same pattern as cluster
+    # derive_ilists): one packed 48-wide row gather, min over unit
+    # atoms and row minor dim against cutneigh^2
+    n16 = nrows // 16
+    packed48 = jnp.concatenate(
+        [x[:, 0].reshape(n16, 16), x[:, 1].reshape(n16, 16),
+         x[:, 2].reshape(n16, 16)],
+        axis=1,
+    )
+    cutsq = cutneigh * cutneigh
+    cc = cand.shape[1]
+    lpos = jnp.arange(cc, dtype=jnp.int32)
+    xi_all = x[:nlocal_pad, 0].reshape(nu, 16)
+    yi_all = x[:nlocal_pad, 1].reshape(nu, 16)
+    zi_all = x[:nlocal_pad, 2].reshape(nu, 16)
+
+    def prune_fn(u0):
+        us = u0 + jnp.arange(chunk, dtype=jnp.int32)
+        cu = cand[us]  # (chunk, cc)
+        rows = packed48[cu]  # (chunk, cc, 48)
+        pl3 = jnp.transpose(
+            rows.reshape(chunk, cc, 3, 16), (0, 2, 1, 3)
+        ).reshape(chunk, 3, 1, cc * 16)
+        xi = xi_all[us][:, :, None]
+        yi = yi_all[us][:, :, None]
+        zi = zi_all[us][:, :, None]
+        dx = xi - pl3[:, 0]
+        dy = yi - pl3[:, 1]
+        dz = zi - pl3[:, 2]
+        rsq = dx * dx + dy * dy + dz * dz  # (chunk, 16, cc*16)
+        # mask padding i-atoms: a padding atom and a padding slot of a
+        # partial candidate row both sit at SENTINEL_COORD, so the raw
+        # rsq=0 would keep junk rows (the derive-aliasing trap flagged
+        # in the cluster derive too)
+        fbig = jnp.asarray(1e30, rsq.dtype)
+        rsq = jnp.where(validu[us][:, :, None], rsq, fbig)
+        mina = jnp.min(rsq, axis=1)
+        mind = jnp.min(mina.reshape(chunk, cc, 16), axis=2)
+        keep = (mind <= cutsq) & (cu != sent16)
+        nr = jnp.sum(keep, axis=1).astype(jnp.int32)
+        key = jnp.where(keep, lpos, cc + lpos)
+        k2, v2 = jax.lax.sort((key, cu), num_keys=1, dimension=1,
+                              is_stable=False)
+        rc = min(rcap, cc)
+        out = jnp.where(k2[:, :rc] < cc, v2[:, :rc], sent16)
+        if rc < rcap:
+            out = jnp.concatenate(
+                [out, jnp.full((chunk, rcap - rc), sent16, jnp.int32)],
+                axis=1,
+            )
+        return out, nr
+
+    outs, nrs = jax.lax.map(prune_fn, starts)
+    rows_out = outs.reshape(nu, rcap)
+    numrows = nrs.reshape(nu)
+    overflow = bovf | sovf | covf | jnp.any(numrows > rcap)
+    return rows_out, numrows, overflow
+
+
 def compute_force_lj_rowlist(
     x: jnp.ndarray,  # (nrows, 3) — locals, ghosts, sentinel tail
     rows: jnp.ndarray,  # (nlocal_pad/16, rcap) int32 row ids

@@ -159,6 +159,53 @@ def test_rowlist_force_matches_planar():
     np.testing.assert_allclose(f_rows, f_plain, rtol=1e-10, atol=1e-10)
 
 
+def test_direct_rowlists_match_per_atom_union():
+    """derive_rowlists_from_cells (unit-granular, straight from the
+    cell table) keeps a row iff some (unit atom, row atom) pair is
+    within cutneigh — the same criterion as the union of exact
+    per-atom verlet lists (derive_rowlists), so both must produce
+    IDENTICAL ascending row lists."""
+    import jax.numpy as jnp
+
+    from mdbench_tpu.ops.cells import build_cells
+    from mdbench_tpu.ops.verlet import (
+        build_neighbors,
+        derive_rowlists,
+        derive_rowlists_from_cells,
+    )
+
+    p = Params(nx=5, ny=5, nz=5, kernel="rowlist")
+    sim = Simulation(p)
+    st = sim.initial_state()
+    caps = sim.caps
+    x = jnp.asarray(st.x)
+    cl = build_cells(sim.grid, x)
+    nl = build_neighbors(
+        sim.grid, cl, x, st.types, sim.cutneighsq, sim.nlocal,
+        caps.nlocal_pad, caps.maxneighs, half=False,
+    )
+    rcap = 96  # tiny box: unions reach ~70 rows
+    rows_a, num_a, ovf_a = derive_rowlists(
+        nl, caps.nlocal_pad, x.shape[0], rcap
+    )
+    rows_b, num_b, ovf_b = derive_rowlists_from_cells(
+        sim.grid, cl, x, sim.nlocal, caps.nlocal_pad, rcap,
+        p.cutneigh, brcap=24, ucells=8, ccap=256,
+    )
+    assert not bool(ovf_a) and not bool(ovf_b)
+    # all-padding units differ benignly: the per-atom oracle lists the
+    # unit's own row (numrows 1), the direct build drops them entirely
+    # (numrows 0 -> zero kernel work); real units must match exactly
+    nreal = (sim.nlocal + 15) // 16
+    np.testing.assert_array_equal(
+        np.asarray(num_b)[:nreal], np.asarray(num_a)[:nreal]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(rows_b)[:nreal], np.asarray(rows_a)[:nreal]
+    )
+    assert int(np.asarray(num_b)[nreal:].sum()) == 0
+
+
 @pytest.mark.slow
 def test_rowlist_short_trajectory_matches_planar():
     base = dict(nx=3, ny=3, nz=3, ntimes=20, reneigh_every=5)

@@ -41,6 +41,8 @@ HELP = """MD Bench (TPU): A performance-oriented prototyping harness for MD algo
                             packed-row TPU fast path, xla = planar)
 --trace-index <prefix>:     dump INDEX_TRACER-style neighbor-index trace
                             of the initial lists (reference tracing.h:47-123)
+--timers <est|diff>:        FORCE/NEIGH timing: out-of-band estimates
+                            (default) or in-loop differential runs
 --trace-mem <prefix>:       dump MEM_TRACER-style address-stream trace
                             (reference tracing.h:24-45)
 --profile <logdir>:         capture a jax.profiler device trace of the run
@@ -107,6 +109,8 @@ def parse_args(argv) -> Params:
             p.trace_mem = nxt()
         elif a == "--profile":
             p.profile_dir = nxt()
+        elif a == "--timers":
+            p.timers = nxt()
         elif a in ("-h", "--help"):
             print(HELP)
             sys.exit(0)
@@ -159,31 +163,36 @@ def main(argv=None) -> int:
 
         write_atom(params.write_atom_file, sim, state0)
 
-    if params.trace_index or params.trace_mem:
-        # reference traceAddresses hook (main.c:240-242): dump the
-        # initial lists' index / address streams (step 0)
+    tracing_on = bool(params.trace_index or params.trace_mem)
+
+    def dump_traces(state, step: int):
+        """traceAddresses analogue (reference main.c:240-242 initial +
+        main.c:269 in-loop under TRACER_CONDITION = every reneighbor
+        boundary, tracing.h:20-22)."""
         from mdbench_tpu import tracing
 
         if params.scheme == "cluster":
-            ng, _, L = state0.pairs.jlist.shape
-            nb = np.asarray(state0.pairs.jlist).reshape(ng, L)
-            nn = np.asarray(
-                np.minimum(np.asarray(state0.pairs.nj), L)
-            )
+            ng, _, L = state.pairs.jlist.shape
+            nb = np.asarray(state.pairs.jlist).reshape(ng, L)
+            nn = np.asarray(np.minimum(np.asarray(state.pairs.nj), L))
         else:
-            nl = state0.nlist
+            nl = state.nlist
             if nl.neighbors.shape[0] < sim.nlocal:  # rowlist fast path
-                nl = sim.per_atom_lists(state0.x, state0.types)
+                nl = sim.per_atom_lists(state.x, state.types)
             nb = np.asarray(nl.neighbors[: sim.nlocal])
             nn = np.asarray(nl.numneigh[: sim.nlocal])
         if params.trace_index:
             print("tracing index stream ->",
-                  tracing.dump_index_trace(params.trace_index, nb, nn, 0))
+                  tracing.dump_index_trace(params.trace_index, nb, nn,
+                                           step))
         if params.trace_mem:
             fs = 8 if params.precision == "dp" else 4
             print("tracing address stream ->",
-                  tracing.dump_mem_trace(params.trace_mem, nb, nn, 0,
+                  tracing.dump_mem_trace(params.trace_mem, nb, nn, step,
                                          float_size=fs))
+
+    if tracing_on:
+        dump_traces(state0, 0)
 
     want_traj = bool(params.vtk_file or params.xtc_file)
     if want_traj and params.scheme != "cluster":
@@ -208,6 +217,16 @@ def main(argv=None) -> int:
         out = sim.run_chunked(chunk, nchunks, emit)
         if writer is not None:
             xtc_end(writer)
+    elif tracing_on and params.scheme != "cluster":
+        # per-reneighbor trace cadence (TRACER_CONDITION): chunk the
+        # run at reneighbor boundaries and dump the fresh lists
+        def emit_traces(state, step):
+            if step > 0:
+                dump_traces(state, step)
+
+        chunk = params.reneigh_every
+        out = sim.run_chunked(chunk, max(params.ntimes // chunk, 1),
+                              emit_traces)
     elif params.profile_dir:
         from mdbench_tpu.tracing import profile
 
@@ -230,7 +249,31 @@ def main(argv=None) -> int:
         nghost = int(out.state.halo.nghost) * 16
     else:
         nghost = int(out.state.halo.nghost)
-    t_force, t_neigh = sim.measure_phases(out.state)
+    if params.timers == "diff":
+        # IN-LOOP differential timing (reference times each phase per
+        # call inside the loop, main.c:250-287; our whole run is one
+        # fused program, so the honest in-loop number is a difference
+        # of full runs): FORCE = T(run with one extra chained force
+        # pass per step) - T(run); NEIGH = T(run at half the reneighbor
+        # interval) - T(run), per extra rebuild. Data-dependent
+        # chaining makes the extra passes CSE/DCE-proof.
+        import dataclasses
+
+        sim2 = Engine(params)
+        sim2._force_reps = 2
+        out2 = sim2.run()
+        t_force = max(out2.total_time - out.total_time, 0.0) / params.ntimes
+        p3 = dataclasses.replace(
+            params, reneigh_every=max(params.reneigh_every // 2, 1)
+        )
+        extra = (params.ntimes // p3.reneigh_every) - (
+            params.ntimes // params.reneigh_every
+        )
+        sim3 = Engine(p3)
+        out3 = sim3.run()
+        t_neigh = max(out3.total_time - out.total_time, 0.0) / max(extra, 1)
+    else:
+        t_force, t_neigh = sim.measure_phases(out.state)
     force_total = t_force * (params.ntimes + 1)
     neigh_total = t_neigh * (params.ntimes // params.reneigh_every)
 

@@ -110,6 +110,12 @@ class Params:
     # CPU/DP), "xla" (planar per-atom kernels). "auto" = rowlist on
     # TPU, planar on CPU. Half lists / type tables always run planar.
     kernel: str = "auto"
+    # FORCE/NEIGH section timing: "est" (out-of-band per-call estimates
+    # x call counts; default) or "diff" (in-loop differential: re-run
+    # with an extra chained force pass / halved reneighbor interval and
+    # difference the totals — the fused-scan analogue of the
+    # reference's in-loop timers, main.c:250-287)
+    timers: str = "est"
     # i-clusters sharing one exact list (cluster scheme, ilist kernels):
     # 0 = auto (measured-best per backend). Larger share = fewer
     # issue-bound gather rows per step at more padded pairs.

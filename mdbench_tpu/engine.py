@@ -192,6 +192,7 @@ class Simulation:
         self.ccap = 128  # pre-prune row-candidate capacity
         self.ucl = 4  # distinct cells per unit (small/drifted boxes grow it)
         self.ubr = 8  # distinct 16-rows per cell
+        self._force_reps = 1  # cli --timers diff sets 2 (in-loop timing)
         self._rcap_calibrated = False
         # the Pallas kernel's revolving output blocks need
         # nlocal_pad/8/16 % 8 == 0
@@ -403,6 +404,14 @@ class Simulation:
                 x, v = initial_integrate(x, v, f, dt, dtforce, nlocal)
                 x = update_pbc(x, halo, caps.nlocal_pad)
                 f = self._force(x, types, nlist, halo)
+                # differential in-loop FORCE timing (cli --timers diff):
+                # chain extra data-dependent force passes so XLA can't
+                # CSE them; T(reps=2) - T(reps=1) = one in-loop force
+                for _r in range(self._force_reps - 1):
+                    f = self._force(
+                        x.at[: caps.nlocal_pad].add(1e-30 * f),
+                        types, nlist, halo,
+                    )
                 v = final_integrate(v, f, dtforce, nlocal)
                 t, pr = thermo(v)
                 return (x, v, f), (t, pr)

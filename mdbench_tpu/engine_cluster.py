@@ -102,6 +102,7 @@ class ClusterSimulation:
         tables: Optional[tuple] = None,  # (eps, sig6, cutsq) (T,T) arrays
     ):
         self.params = params
+        self._force_reps = 1  # cli --timers diff sets 2 (in-loop timing)
         if x is None and params.input_file:
             from mdbench_tpu.io.readers import read_atom
 
@@ -484,6 +485,13 @@ class ClusterSimulation:
             cl = cl0._replace(xc=xc, yc=yc, zc=zc)
             cl = update_cluster_pbc(cl, halo, npad, False)
             fx, fy, fz = self._force_from(cl, pairs)
+            # differential in-loop FORCE timing (cli --timers diff):
+            # extra data-dependent passes, CSE-proof
+            for _r in range(self._force_reps - 1):
+                cl2 = cl._replace(
+                    xc=cl.xc.at[:npad].add(1e-30 * fx)
+                )
+                fx, fy, fz = self._force_from(cl2, pairs)
             vx = vx + dtf * fx
             vy = vy + dtf * fy
             vz = vz + dtf * fz

@@ -52,3 +52,52 @@ def test_cli_end_to_end_output_block():
     # thermo row for step 0 must show the target temperature
     row0 = [l for l in out.splitlines() if l.startswith("0\t")][0]
     assert abs(float(row0.split("\t")[1]) - 1.44) < 1e-5
+
+
+@pytest.mark.slow
+def test_cli_trace_per_reneighbor_cadence(tmp_path):
+    """TRACER_CONDITION analogue (reference tracing.h:20-22 +
+    main.c:269): with --trace-index, the cli dumps the fresh lists at
+    EVERY reneighbor boundary, not just step 0."""
+    import os
+
+    prefix = str(tmp_path / "t_")
+    conf = tmp_path / "re5.conf"
+    conf.write_text("reneigh_every 5\n")
+    env_code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import sys; from mdbench_tpu.cli import main;"
+        "sys.exit(main(['-p','%s','-nx','3','-ny','3','-nz','3',"
+        "'-n','15','--trace-index','%s']))" % (conf, prefix)
+    )
+    res = subprocess.run(
+        [sys.executable, "-c", env_code],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert res.returncode == 0, res.stderr
+    dumps = sorted(
+        f for f in os.listdir(tmp_path) if f.startswith("t_")
+    )
+    # boundaries: 0 (initial), 5, 10, 15
+    assert dumps == [
+        "t_index_tracer_0.out", "t_index_tracer_10.out",
+        "t_index_tracer_15.out", "t_index_tracer_5.out",
+    ], dumps
+
+
+@pytest.mark.slow
+def test_cli_timers_diff_mode():
+    """--timers diff: in-loop differential FORCE/NEIGH (extra chained
+    force pass / halved reneighbor interval, differenced totals)."""
+    env_code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import sys; from mdbench_tpu.cli import main;"
+        "sys.exit(main(['-nx','3','-ny','3','-nz','3','-n','10',"
+        "'--timers','diff']))"
+    )
+    res = subprocess.run(
+        [sys.executable, "-c", env_code],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert res.returncode == 0, res.stderr
+    assert "FORCE" in res.stdout and "NEIGH" in res.stdout

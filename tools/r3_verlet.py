@@ -64,7 +64,7 @@ def run_variant(name, overrides, probe_phases=True):
     # rebuild sub-phases
     from mdbench_tpu.ops.cells import build_cells
     from mdbench_tpu.ops.pbc import setup_pbc, update_pbc
-    from mdbench_tpu.ops.verlet import build_neighbors, derive_rowlists
+    from mdbench_tpu.ops.verlet import derive_rowlists_from_cells
 
     pp = sim.params
     caps = sim.caps
@@ -81,47 +81,35 @@ def run_variant(name, overrides, probe_phases=True):
 
     def f_cells(x):
         cl = build_cells(sim.grid, x)
-        return x[:, 0] + cl.bin_of.astype(x.dtype)
+        return x[cl.cells[:, 0], 0] + cl.bin_of.astype(x.dtype)[: x.shape[0]]
 
     print("%-10s  cells      : %.3f ms" % (name, timeit(f_cells, st.x) * 1e3))
 
     cl0 = build_cells(sim.grid, st.x)
 
-    def f_neigh(x):
-        nl = build_neighbors(
-            sim.grid, cl0, x, st.types, sim.cutneighsq, sim.nlocal,
-            caps.nlocal_pad, caps.maxneighs, half=bool(pp.half_neigh),
-        )
-        return x[: caps.nlocal_pad, 0] + nl.numneigh.astype(x.dtype)
-
-    print("%-10s  neighlists : %.3f ms" % (name, timeit(f_neigh, st.x) * 1e3))
-
     if sim._rowlist:
-        nl0 = build_neighbors(
-            sim.grid, cl0, st.x, st.types, sim.cutneighsq, sim.nlocal,
-            caps.nlocal_pad, caps.maxneighs, half=bool(pp.half_neigh),
-        )
 
         def f_rows(x):
-            rows, numrows, _o = derive_rowlists(
-                nl0, caps.nlocal_pad, x.shape[0], sim.rcap
+            rows, numrows, _o = derive_rowlists_from_cells(
+                sim.grid, cl0, x, sim.nlocal, caps.nlocal_pad,
+                sim.rcap, pp.cutneigh, brcap=sim.ubr,
+                ucells=sim.ucl, ccap=sim.ccap,
             )
             return x[: numrows.shape[0], 0] + numrows.astype(x.dtype)
 
         print(
-            "%-10s  rowderive  : %.3f ms"
+            "%-10s  rowbuild   : %.3f ms"
             % (name, timeit(f_rows, st.x) * 1e3)
         )
-        nr = np.asarray(nl0._replace(rows=None, numrows=None).numneigh)
-        import numpy as _np
-
-        rows, numrows, _ = derive_rowlists(
-            nl0, caps.nlocal_pad, st.x.shape[0], sim.rcap
+        rows, numrows, _ = derive_rowlists_from_cells(
+            sim.grid, cl0, st.x, sim.nlocal, caps.nlocal_pad,
+            sim.rcap, pp.cutneigh, brcap=sim.ubr, ucells=sim.ucl,
+            ccap=sim.ccap,
         )
-        nrh = _np.asarray(numrows)
+        nrh = np.asarray(numrows)
         print(
-            "%-10s  numrows mean=%.1f max=%d (rcap %d)  numneigh mean=%.1f max=%d"
-            % (name, nrh.mean(), nrh.max(), sim.rcap, nr.mean(), nr.max())
+            "%-10s  numrows mean=%.1f max=%d (rcap %d ccap %d)"
+            % (name, nrh.mean(), nrh.max(), sim.rcap, sim.ccap)
         )
 
 

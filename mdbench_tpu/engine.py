@@ -192,6 +192,8 @@ class Simulation:
         self.ccap = 128  # pre-prune row-candidate capacity
         self.ucl = 4  # distinct cells per unit (small/drifted boxes grow it)
         self.ubr = 8  # distinct 16-rows per cell
+        self.rbuckets = None  # (sizes, caps) capacity buckets, planned
+        # from the first build's numrows distribution (Pallas path only)
         self._force_reps = 1  # cli --timers diff sets 2 (in-loop timing)
         self._rcap_calibrated = False
         # the Pallas kernel's revolving output blocks need
@@ -293,10 +295,20 @@ class Simulation:
                 self.rcap, p.cutneigh, brcap=self.ubr,
                 ucells=self.ucl, ccap=self.ccap,
             )
+            brows = bcrows = binv = None
+            if self.rbuckets is not None:
+                from mdbench_tpu.ops.cluster import bucket_maps_core
+
+                brows, bcrows, binv, bovf = bucket_maps_core(
+                    rows, numrows, caps.nlocal_pad // 8, 2,
+                    x.shape[0] // 8, *self.rbuckets,
+                )
+                rovf = rovf | bovf
             dummy = jnp.zeros((1, 8), jnp.int32)
             nlist = NeighborList(
                 neighbors=dummy, numneigh=dummy[0],
                 overflow=cl.overflow | rovf, rows=rows, numrows=numrows,
+                brows=brows, bcrows=bcrows, binv=binv,
             )
             return x, types, halo, nlist, halo.overflow | nlist.overflow
         nlist = build_neighbors(
@@ -345,6 +357,8 @@ class Simulation:
                     p.sigma6, p.epsilon,
                     backend=self._rowlist_backend,
                     approx_rcp=p.approx_rcp,
+                    buckets=self.rbuckets, brows=nlist.brows,
+                    bcrows=nlist.bcrows, binv=nlist.binv,
                 )
             return lj_ops.compute_force_lj_full(
                 x, nlist.neighbors, nlist.numneigh, caps.nlocal_pad,
@@ -550,13 +564,23 @@ class Simulation:
         if not self._rowlist or self._rcap_calibrated:
             return False
         self._rcap_calibrated = True
-        nrmax = int(jnp.max(state0.nlist.numrows))
+        nrh = np.asarray(state0.nlist.numrows)
+        nrmax = int(nrh.max())
         target = max((int(nrmax * 1.5) + 7) // 8 * 8, 16)
-        if target >= self.rcap:
-            return False
-        self.rcap = target
-        self._build_device_state()
-        return True
+        changed = False
+        if target < self.rcap:
+            self.rcap = target
+            changed = True
+        if self.rbuckets is None and self._rowlist_backend == "pallas":
+            from mdbench_tpu.ops.cluster import plan_capacity_buckets
+
+            plan = plan_capacity_buckets(nrh, self.rcap, 2)
+            if plan is not None:
+                self.rbuckets = plan
+                changed = True
+        if changed:
+            self._build_device_state()
+        return changed
 
     def _grow_caps(self):
         """Grow every overflowable capacity and rebuild device state
@@ -570,6 +594,12 @@ class Simulation:
         self.ccap = int(self.ccap * 1.5 + 7) // 8 * 8
         self.ucl += 2
         self.ubr += 8
+        if self.rbuckets is not None:
+            # widen every bucket cap; the last cap tracks rcap
+            sizes, caps = self.rbuckets
+            self.rbuckets = (
+                sizes, tuple(c + 8 for c in caps[:-1]) + (self.rcap,)
+            )
         self._build_device_state()
 
     def run_chunked(self, chunk: int, nchunks: int, callback):

@@ -39,6 +39,7 @@ from mdbench_tpu.ops.cluster import (
     derive_ilists,
     make_cluster_grid,
     make_j16_bboxes,
+    plan_capacity_buckets,
     refresh_pair_ranges,
     setup_cluster_pbc,
     update_cluster_pbc,
@@ -798,58 +799,17 @@ class ClusterSimulation:
 
     def _plan_buckets(self, nji: np.ndarray) -> bool:
         """Choose capacity buckets for the Pallas exact-list force from
-        the observed nji distribution. Buckets only pay off at scale
-        (the per-step permutation gathers cost ~0.3 ms at 131k) and are
-        skipped for small boxes, typed runs, and non-Pallas kernels.
-        Caps carry a +6 thermal margin (heated quantiles sit ~3-5 above
-        the cold lattice's); sizes are sized one margin-step below
-        their quantile so the runtime sorted assignment has slack."""
+        the observed nji distribution (shared quantile planner,
+        ops/cluster.plan_capacity_buckets); skipped for small boxes,
+        typed runs, and non-Pallas kernels."""
         if self.buckets is not None:
             return False
         if self._kmode != "ilist_pl" or self.type_tables is not None:
             return False
-        nu = nji.shape[0]
-        if nu < 4096:
+        plan = plan_capacity_buckets(nji, self.icap, self.ishare)
+        if plan is None:
             return False
-
-        def pad8(x):
-            return max(8, (int(x) + 7) // 8 * 8)
-
-        # bucket-size granularity: n_k * share clusters must tile into
-        # 16-cluster kernel units AND 8-unit revolving output blocks
-        gran = max(128 // self.ishare, 8)
-        # thermal drift margin: the planner sees the cold-ish first
-        # build; heated nji sits ~3-5 higher (assignment itself is
-        # re-sorted every rebuild, so only the distribution shift needs
-        # headroom, not per-unit identity)
-        srt = np.sort(nji) + 4
-        cap_c = self.icap
-        # candidate caps from distribution quantiles: the empty bucket
-        # (column-rounding pads ~10% of units with near-zero lists) at
-        # the minimum width, then quantile steps through the bulk band
-        cand = [8] + [
-            pad8(srt[min(int(q * nu), nu - 1)])
-            for q in (0.30, 0.55, 0.75, 0.90, 0.985)
-        ]
-        sizes, caps = [], []
-        used = 0
-        for c_k in sorted(set(cand)):
-            if c_k >= cap_c:
-                break
-            # all units whose (margin-shifted) length fits this cap,
-            # kept slightly below the exact count so the runtime sorted
-            # assignment has slack at the boundary
-            n_fit = int((srt <= c_k).sum() * 0.99) // gran * gran - used
-            if n_fit >= gran:
-                sizes.append(n_fit)
-                caps.append(c_k)
-                used += n_fit
-        if not sizes:
-            return False
-        n_c = max(gran, (nu - used + gran - 1) // gran * gran)
-        sizes.append(n_c)
-        caps.append(cap_c)
-        self.buckets = (tuple(sizes), tuple(caps))
+        self.buckets = plan
         return True
 
     def run(self, ntimes: Optional[int] = None, max_retries: int = 5) -> CRunResult:

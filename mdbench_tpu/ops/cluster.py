@@ -885,6 +885,48 @@ def derive_ilists(
     )
 
 
+def plan_capacity_buckets(nji: "np.ndarray", cap: int, share: int):
+    """Choose capacity buckets for an exact-list force path from the
+    observed list-length distribution (used by both the cluster-scheme
+    ilist path and the verlet rowlist path). Caps carry a +4 thermal
+    margin (heated quantiles sit ~3-5 above the cold lattice's); sizes
+    sit slightly below their quantile so the runtime sorted assignment
+    has slack. Returns (sizes, caps) or None when bucketing can't pay
+    (small boxes: the per-step permutation gathers cost ~0.3 ms at
+    131k)."""
+    nu = nji.shape[0]
+    if nu < 4096:
+        return None
+
+    def pad8(x):
+        return max(8, (int(x) + 7) // 8 * 8)
+
+    # bucket-size granularity: n_k * share clusters must tile into
+    # 16-cluster kernel units AND 8-unit revolving output blocks
+    gran = max(128 // share, 8)
+    srt = np.sort(nji) + 4
+    cand = [8] + [
+        pad8(srt[min(int(q * nu), nu - 1)])
+        for q in (0.30, 0.55, 0.75, 0.90, 0.985)
+    ]
+    sizes, caps = [], []
+    used = 0
+    for c_k in sorted(set(cand)):
+        if c_k >= cap:
+            break
+        n_fit = int((srt <= c_k).sum() * 0.99) // gran * gran - used
+        if n_fit >= gran:
+            sizes.append(n_fit)
+            caps.append(c_k)
+            used += n_fit
+    if not sizes:
+        return None
+    n_c = max(gran, (nu - used + gran - 1) // gran * gran)
+    sizes.append(n_c)
+    caps.append(cap)
+    return tuple(sizes), tuple(caps)
+
+
 def attach_bucket_maps(
     pairs: ClusterPairList,
     n_clusters_pad: int,
@@ -900,17 +942,39 @@ def attach_bucket_maps(
     membership follows the thermal nji drift; overflow = the largest
     nji inside a bucket exceeding its cap (folded into iovf -> the
     engine grows caps and retries)."""
-    nu, icap = pairs.ijlist.shape
+    bijlist, bcrows, binv, bovf = bucket_maps_core(
+        pairs.ijlist, pairs.nji, n_clusters_pad, share, total_rows,
+        sizes, caps,
+    )
+    return pairs._replace(
+        bijlist=bijlist, bcrows=bcrows, binv=binv,
+        iovf=pairs.iovf | bovf,
+    )
+
+
+def bucket_maps_core(
+    ijlist: jnp.ndarray,  # (nu, icap) int32 exact j16 lists
+    nji: jnp.ndarray,  # (nu,) int32
+    n_clusters_pad: int,
+    share: int,
+    total_rows: int,
+    sizes,
+    caps,
+):
+    """The layout-agnostic core of attach_bucket_maps — also drives the
+    verlet rowlist path's bucketed force (a 16-atom atom-order row
+    plays the j16 role there). Returns (bijlist, bcrows, binv, bovf)."""
+    nu, icap = ijlist.shape
     total = int(sum(sizes))
     assert total >= nu
-    order = jnp.argsort(pairs.nji).astype(jnp.int32)  # ascending
+    order = jnp.argsort(nji).astype(jnp.int32)  # ascending
     if total > nu:
         order = jnp.concatenate(
             [order, jnp.full((total - nu,), nu, jnp.int32)]
         )
     sent16 = total_rows // 2 - 1
     ijl_ext = jnp.concatenate(
-        [pairs.ijlist, jnp.full((1, icap), sent16, jnp.int32)], axis=0
+        [ijlist, jnp.full((1, icap), sent16, jnp.int32)], axis=0
     )
     bijlist = ijl_ext[order]
     # xi rows: unit u -> cluster rows [u*share, (u+1)*share); the dummy
@@ -928,9 +992,7 @@ def attach_bucket_maps(
     binv = inv_u[c // share] * share + c % share
     # per-bucket capacity check on the sorted lengths (dummy units have
     # length 0)
-    nji_ext = jnp.concatenate(
-        [pairs.nji, jnp.zeros((1,), pairs.nji.dtype)]
-    )
+    nji_ext = jnp.concatenate([nji, jnp.zeros((1,), nji.dtype)])
     nji_sorted = nji_ext[order[:total]]
     bovf = jnp.asarray(False)
     off = 0
@@ -939,10 +1001,7 @@ def attach_bucket_maps(
         if last >= off:
             bovf = bovf | (nji_sorted[last] > c_k)
         off += n_k
-    return pairs._replace(
-        bijlist=bijlist, bcrows=bcrows, binv=binv,
-        iovf=pairs.iovf | bovf,
-    )
+    return bijlist, bcrows, binv, bovf
 
 
 def refresh_pair_ranges(

@@ -386,6 +386,10 @@ def compute_force_lj_rowlist(
     backend: str = "pallas",  # "pallas" (TPU) | "xla" (CPU twin)
     approx_rcp: bool = False,
     interpret: bool = False,
+    buckets=None,  # (sizes, caps) static plan; with maps below
+    brows=None,  # (total_units, rcap) numrows-sorted permuted lists
+    bcrows=None,  # (total_units*2,) permuted xi 8-row ids
+    binv=None,  # (nlocal_pad/8,) output inverse map
 ) -> jnp.ndarray:
     """LJ force over packed row lists — the verlet scheme's TPU fast
     path. A 16-atom row in ATOM ORDER plays the role the cluster
@@ -410,7 +414,35 @@ def compute_force_lj_rowlist(
     yc = x[:, 1].reshape(-1, 8)
     zc = x[:, 2].reshape(-1, 8)
     n_clusters_pad = nlocal_pad // 8
-    if backend == "pallas":
+    if buckets is not None and brows is not None and backend == "pallas":
+        # capacity-bucketed form (same scheme as the cluster engine's
+        # _force_buckets): units run numrows-sorted through one
+        # capacity-matched kernel per bucket, outputs gather back
+        # through the inverse map. The kernel pads every unit to its
+        # bucket's cap instead of the global rcap (~2x fewer padded
+        # pairs AND gather rows at 131k: numrows mean 32, flat cap 72+)
+        sizes, caps = buckets
+        xiP = xc[bcrows]
+        yiP = yc[bcrows]
+        ziP = zc[bcrows]
+        fxs, fys, fzs = [], [], []
+        off = 0
+        for n_k, c_k in zip(sizes, caps):
+            r0, r1 = off * 2, (off + n_k) * 2
+            fxk, fyk, fzk = lj_cluster_force_ilist_pallas(
+                xc, yc, zc, brows[off : off + n_k, :c_k], n_k * 2,
+                cutforcesq, sigma6, epsilon, share=2,
+                approx_rcp=approx_rcp, interpret=interpret,
+                xi=(xiP[r0:r1], yiP[r0:r1], ziP[r0:r1]),
+            )
+            fxs.append(fxk)
+            fys.append(fyk)
+            fzs.append(fzk)
+            off += n_k
+        fx = jnp.concatenate(fxs, axis=0)[binv]
+        fy = jnp.concatenate(fys, axis=0)[binv]
+        fz = jnp.concatenate(fzs, axis=0)[binv]
+    elif backend == "pallas":
         fx, fy, fz = lj_cluster_force_ilist_pallas(
             xc, yc, zc, rows, n_clusters_pad, cutforcesq, sigma6,
             epsilon, share=2, approx_rcp=approx_rcp, interpret=interpret,

@@ -91,6 +91,11 @@ class NeighborList(NamedTuple):
     # planar-XLA path.
     rows: jnp.ndarray | None = None  # (nlocal_pad/16, rcap) int32
     numrows: jnp.ndarray | None = None  # (nlocal_pad/16,) int32
+    # capacity-bucketed force maps (numrows-sorted units, one
+    # capacity-matched kernel per bucket; ops/cluster.bucket_maps_core)
+    brows: jnp.ndarray | None = None  # (total_units, rcap) permuted
+    bcrows: jnp.ndarray | None = None  # (total_units*2,) xi 8-row ids
+    binv: jnp.ndarray | None = None  # (nlocal_pad/8,) output inverse
 
 
 def make_box(params: Params) -> Box:

@@ -245,6 +245,12 @@ def derive_rowlists_from_cells(
     runs = jnp.concatenate(
         [br_pad[i : i + bin_rows.shape[0]] for i in range(ZW)], axis=1
     )  # (nbins+1, ZW*brcap)
+    # one all-sentinel run at the end: padding cell slots point here so
+    # they cost a dead read instead of refetching a real cell's runs
+    empty_cell = runs.shape[0]
+    runs = jnp.concatenate(
+        [runs, jnp.full((1, ZW * brcap), sent16, runs.dtype)], axis=0
+    )
 
     # 2. per-unit DISTINCT cells (not a cell-index box: a unit that
     # straddles a column boundary in the z-fastest flat order has a
@@ -269,12 +275,9 @@ def derive_rowlists_from_cells(
     ku = jnp.where(firstu, p16, 16 + p16)
     k2u, v2u = jax.lax.sort((ku, cs), num_keys=1, dimension=1,
                             is_stable=False)
-    # padding slots repeat the unit's first cell; empty units get the
-    # safe interior cell (their rows are dropped by the prune mask)
-    safe_cell = (1 * d1 + 1) * d2 + 1
-    dc0 = jnp.where(k2u[:, :1] < 16, v2u[:, :1], safe_cell)
+    # padding slots (and empty units) point at the all-sentinel run
     dcells = jnp.where(
-        k2u[:, :ucells] < 16, v2u[:, :ucells], dc0
+        k2u[:, :ucells] < 16, v2u[:, :ucells], empty_cell
     )  # (nu, ucells)
 
     # 3. candidate fetch: per distinct cell, the 3x3 xy stencil as
@@ -294,7 +297,8 @@ def derive_rowlists_from_cells(
         us = u0 + jnp.arange(chunk, dtype=jnp.int32)
         dcs = dcells[us]  # (chunk, ucells)
         base = dcs[:, :, None] + xyoff[None, None, :] - 1  # run starts
-        base = jnp.clip(base, 0, cells.shape[0] - 1)
+        base = jnp.where(dcs[:, :, None] == empty_cell, empty_cell, base)
+        base = jnp.clip(base, 0, empty_cell)
         got = runs[base]  # (chunk, ucells, 9, ZW*brcap)
         cand = got.reshape(chunk, Wc)
 

@@ -822,12 +822,28 @@ def derive_ilists(
             # (Lk*16 lanes) and i-atoms sit on sublanes — the naive
             # (..., Lk, 16) shape leaves 16 of 128 lanes live and
             # measured 16 ms at 131k; this layout + two-stage min runs
-            # the same math at full lane occupancy. The plane split is
-            # the measured-fast 4-D transpose of one packed gather.
-            rows = packed48[jl]  # (chunk, Lk, 48)
-            pl3 = jnp.transpose(
-                rows.reshape(chunk, Lk, 3, 16), (0, 2, 1, 3)
-            ).reshape(chunk, 3, 1, 1, Lk * 16)
+            # the same math at full lane occupancy.
+            from mdbench_tpu.ops.pallas.lj_cluster import ILIST_GATHER
+
+            if ILIST_GATHER == "fused":
+                # layout-fused gather: offset dims (3, 16) land at
+                # output positions (1, 3) around the (chunk, Lk) index
+                # batch — the planar layout with zero relayout copies
+                dn = jax.lax.GatherDimensionNumbers(
+                    offset_dims=(1, 3), collapsed_slice_dims=(0,),
+                    start_index_map=(0,),
+                )
+                pl3 = jax.lax.gather(
+                    packed48.reshape(cjn, 3, 16), jl[:, :, None], dn,
+                    (1, 3, 16),
+                ).reshape(chunk, 3, 1, 1, Lk * 16)
+            else:
+                # plane split = the measured-fast 4-D transpose of one
+                # packed 48-wide row gather
+                rows = packed48[jl]  # (chunk, Lk, 48)
+                pl3 = jnp.transpose(
+                    rows.reshape(chunk, Lk, 3, 16), (0, 2, 1, 3)
+                ).reshape(chunk, 3, 1, 1, Lk * 16)
             xj = pl3[:, 0]
             yj = pl3[:, 1]
             zj = pl3[:, 2]

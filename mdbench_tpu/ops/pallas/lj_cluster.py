@@ -344,6 +344,33 @@ def gather_ilist_rows(xc, yc, zc, ijlist, tc=None):
     return packed[ijlist.reshape(-1)].reshape(nic, icap, len(planes) * 16)
 
 
+# exact-list coordinate fetch layout: "packed" = the 48-wide row gather
+# above + three slice-reshape relayout copies (~0.26 ms/step at 131k);
+# "fused" = one layout-fused lax.gather that emits the planar
+# (nic, 3, icap*16) layout directly (offset dims split around the index
+# batch dims). Flip after the hardware A/B (tools/r3_gab.py).
+ILIST_GATHER = "packed"
+
+
+def gather_ilist_planes(xc, yc, zc, ijlist):
+    """Layout-fused twin of gather_ilist_rows: the gather itself emits
+    (nic, 3, icap, 16) — j-planes come out kernel-ready with zero
+    relayout copies. Output dims: index batch (nic, icap) at positions
+    (0, 2), operand offset dims (3, 16) at positions (1, 3)."""
+    nic, icap = ijlist.shape
+    cjn = xc.shape[0] // 2
+    packed = jnp.concatenate(
+        [xc.reshape(cjn, 16), yc.reshape(cjn, 16), zc.reshape(cjn, 16)],
+        axis=1,
+    ).reshape(cjn, 3, 16)
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 3), collapsed_slice_dims=(0,),
+        start_index_map=(0,),
+    )
+    out = jax.lax.gather(packed, ijlist[:, :, None], dn, (1, 3, 16))
+    return out.reshape(nic, 3, icap * 16)
+
+
 def lj_cluster_force_xla_ilist(
     xc, yc, zc,  # (C_total, 8) coordinate planes
     ijlist,  # (NIC/share, icap) int32 — exact per-i-unit j16 ids
@@ -553,10 +580,14 @@ def lj_cluster_force_ilist_pallas(
             for t in tables
         )
 
-    rows = gather_ilist_rows(xc, yc, zc, ijlist, tc)
-    xjp = rows[:, :, 0:16].reshape(nu, W)
-    yjp = rows[:, :, 16:32].reshape(nu, W)
-    zjp = rows[:, :, 32:48].reshape(nu, W)
+    if not typed and ILIST_GATHER == "fused":
+        pl3 = gather_ilist_planes(xc, yc, zc, ijlist)
+        xjp, yjp, zjp = pl3[:, 0], pl3[:, 1], pl3[:, 2]
+    else:
+        rows = gather_ilist_rows(xc, yc, zc, ijlist, tc)
+        xjp = rows[:, :, 0:16].reshape(nu, W)
+        yjp = rows[:, :, 16:32].reshape(nu, W)
+        zjp = rows[:, :, 32:48].reshape(nu, W)
     if typed:
         tjp = rows[:, :, 48:64].reshape(nu, W)
 

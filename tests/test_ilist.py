@@ -136,3 +136,22 @@ def test_auto_resolves_to_ilist():
     st = sim.initial_state()
     assert st.pairs.ijlist is not None
     assert st.pairs.nji is not None
+
+
+def test_derive_fused_gather_matches_packed(monkeypatch):
+    """derive_ilists with the layout-fused candidate gather produces
+    identical exact lists."""
+    from mdbench_tpu.config import Params
+    from mdbench_tpu.engine_cluster import ClusterSimulation
+    from mdbench_tpu.ops.pallas import lj_cluster as ljc
+
+    p = Params(nx=6, ny=6, nz=6, kernel="ilist")
+    st_a = ClusterSimulation(p).initial_state()
+    monkeypatch.setattr(ljc, "ILIST_GATHER", "fused")
+    st_b = ClusterSimulation(p).initial_state()
+    np.testing.assert_array_equal(
+        np.asarray(st_b.pairs.ijlist), np.asarray(st_a.pairs.ijlist)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(st_b.pairs.nji), np.asarray(st_a.pairs.nji)
+    )

@@ -39,3 +39,33 @@ def test_share2_lists_halve_rows():
     # every i-cluster's exact neighbors must be covered by its unit list
     nji = np.asarray(st.pairs.nji)
     assert (nji > 0).any()
+
+
+def test_fused_gather_layout_matches_packed(monkeypatch):
+    """ILIST_GATHER="fused" (layout-fused lax.gather, zero relayout
+    copies) produces identical forces to the packed-row form."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mdbench_tpu.ops.pallas import lj_cluster as ljc
+
+    rng = np.random.default_rng(3)
+    cjn, nu, icap, share = 256, 64, 16, 2
+    n_pad = nu * share
+    xc = jnp.asarray(rng.normal(0, 1.0, (cjn * 2, 8)).astype(np.float32))
+    yc = jnp.asarray(rng.normal(0, 1.0, (cjn * 2, 8)).astype(np.float32))
+    zc = jnp.asarray(rng.normal(0, 1.0, (cjn * 2, 8)).astype(np.float32))
+    ijl = jnp.asarray(rng.integers(0, cjn, (nu, icap)).astype(np.int32))
+
+    def run():
+        return ljc.lj_cluster_force_ilist_pallas(
+            xc, yc, zc, ijl, n_pad, 2.5**2, 1.0, 1.0, share=share,
+            interpret=True,
+        )
+
+    fx_a, fy_a, fz_a = run()
+    monkeypatch.setattr(ljc, "ILIST_GATHER", "fused")
+    fx_b, fy_b, fz_b = run()
+    np.testing.assert_array_equal(np.asarray(fx_b), np.asarray(fx_a))
+    np.testing.assert_array_equal(np.asarray(fy_b), np.asarray(fy_a))
+    np.testing.assert_array_equal(np.asarray(fz_b), np.asarray(fz_a))

@@ -93,6 +93,9 @@ def main():
     print("direct2 (gather+T)    : %.3f ms" % (timeit(direct2, packed, ijlist) * 1e3))
 
     def direct3(packed, ijlist):
+        # offset dims (3, 16) at output positions (1, 3); index batch
+        # dims (nu, icap) fill positions (0, 2) -> (nu, 3, icap, 16),
+        # i.e. the planar layout the kernel wants, no transpose
         op = packed.reshape(cjn, 3, 16)
         dn = jax.lax.GatherDimensionNumbers(
             offset_dims=(1, 3),
@@ -100,8 +103,8 @@ def main():
             start_index_map=(0,),
         )
         out = jax.lax.gather(
-            op, ijlist[:, None, :, None], dn, (1, 3, 16),
-        )  # batch dims (nu, icap) at output positions 0 and 2
+            op, ijlist[:, :, None], dn, (1, 3, 16),
+        )
         return out + 0.0
 
     try:

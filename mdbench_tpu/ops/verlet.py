@@ -237,19 +237,54 @@ def derive_rowlists_from_cells(
                           is_stable=False)
     bin_rows = jnp.where(sk[:, :brcap] < cap, sr[:, :brcap], sent16)
     bovf = jnp.any(cntc > brcap)
+
+    # per-candidate-row BBOXES ride the runs table (component-major,
+    # like the cluster scheme's bb_cells): the fetch is run-ISSUE-bound
+    # so 9x wider rows are nearly free, and a cheap bbox gap test then
+    # prunes candidates BEFORE the expensive exact-prune row gather —
+    # the candidate cap (and with it the nu*ccap coordinate gather and
+    # the exact-check lane count) roughly halves.
+    n16r = nrows // 16
+    fbig = jnp.asarray(1e30, dtype)
+    xm = x[:, 0].reshape(n16r, 16)
+    ym = x[:, 1].reshape(n16r, 16)
+    zm = x[:, 2].reshape(n16r, 16)
+    validr = jnp.abs(xm) < 1e29  # padding slots sit at SENTINEL_COORD
+
+    def mm(p):
+        lo = jnp.min(jnp.where(validr, p, fbig), axis=1)
+        hi = jnp.max(jnp.where(validr, p, -fbig), axis=1)
+        return lo, hi
+
+    xlo, xhi = mm(xm)
+    ylo, yhi = mm(ym)
+    zlo, zhi = mm(zm)
+    bb8 = jnp.stack(
+        [xlo, xhi, ylo, yhi, zlo, zhi, xlo, xlo], axis=1
+    )  # (n16r, 8) — one row gather fetches a whole bbox
+    g = bb8[bin_rows]  # (nbins+1, brcap, 8)
+    F = 9  # fields per entry: [row id | xlo xhi ylo yhi zlo zhi | pads]
+    packed_bin = jnp.concatenate(
+        [bin_rows.astype(dtype)[:, None, :],
+         jnp.transpose(g, (0, 2, 1))],
+        axis=1,
+    ).reshape(-1, F * brcap)  # (nbins+1, 9*brcap) component-major
+
     # z-run concat: row b covers cells b..b+ZW-1 (z is the fastest
     # cell-index dim, so a z window is a flat-id run); pad tail with
-    # sentinel rows
-    pad = jnp.full((ZW, brcap), sent16, bin_rows.dtype)
-    br_pad = jnp.concatenate([bin_rows, pad], axis=0)
+    # sentinel rows (id field = sent16 -> dropped at dedup regardless
+    # of the junk bbox fields)
+    pad = jnp.full((ZW, F * brcap), float(sent16), dtype)
+    br_pad = jnp.concatenate([packed_bin, pad], axis=0)
     runs = jnp.concatenate(
-        [br_pad[i : i + bin_rows.shape[0]] for i in range(ZW)], axis=1
-    )  # (nbins+1, ZW*brcap)
+        [br_pad[i : i + packed_bin.shape[0]] for i in range(ZW)], axis=1
+    )  # (nbins+1, ZW*F*brcap)
     # one all-sentinel run at the end: padding cell slots point here so
     # they cost a dead read instead of refetching a real cell's runs
     empty_cell = runs.shape[0]
     runs = jnp.concatenate(
-        [runs, jnp.full((1, ZW * brcap), sent16, runs.dtype)], axis=0
+        [runs, jnp.full((1, ZW * F * brcap), float(sent16), dtype)],
+        axis=0,
     )
 
     # 2. per-unit DISTINCT cells (not a cell-index box: a unit that
@@ -280,14 +315,30 @@ def derive_rowlists_from_cells(
         k2u[:, :ucells] < 16, v2u[:, :ucells], empty_cell
     )  # (nu, ucells)
 
+    # unit bboxes for the bbox gap test (masked over real atoms)
+    xi16 = x[:nlocal_pad, 0].reshape(nu, 16)
+    yi16 = x[:nlocal_pad, 1].reshape(nu, 16)
+    zi16 = x[:nlocal_pad, 2].reshape(nu, 16)
+
+    def umm(p):
+        lo = jnp.min(jnp.where(validu, p, fbig), axis=1)
+        hi = jnp.max(jnp.where(validu, p, -fbig), axis=1)
+        return lo, hi
+
+    uxlo, uxhi = umm(xi16)
+    uylo, uyhi = umm(yi16)
+    uzlo, uzhi = umm(zi16)
+
     # 3. candidate fetch: per distinct cell, the 3x3 xy stencil as
     # z-runs (z is the fastest flat dim, so cells z-1..z+1 are one
-    # bin_rows run read)
+    # packed run read)
     xyoff = jnp.asarray(
         [(dx * d1 + dy) * d2 for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
         jnp.int32,
     )  # (9,)
-    Wc = ucells * 9 * ZW * brcap
+    M = ucells * 9 * ZW
+    Wc = M * brcap
+    cutsq = cutneigh * cutneigh
 
     while nu % chunk != 0 and chunk > 1:
         chunk //= 2
@@ -299,8 +350,27 @@ def derive_rowlists_from_cells(
         base = dcs[:, :, None] + xyoff[None, None, :] - 1  # run starts
         base = jnp.where(dcs[:, :, None] == empty_cell, empty_cell, base)
         base = jnp.clip(base, 0, empty_cell)
-        got = runs[base]  # (chunk, ucells, 9, ZW*brcap)
-        cand = got.reshape(chunk, Wc)
+        got = runs[base].reshape(chunk, M, F, brcap)
+
+        def fld(f):
+            return got[:, :, f, :].reshape(chunk, Wc)
+
+        ids = fld(0).astype(jnp.int32)
+
+        # bbox gap test vs the unit bbox (same prune the cluster
+        # scheme's pair search runs, build_cluster_pairs): drops
+        # ~half the raw candidates before the dedup/exact stages
+        def gap(lo_i, hi_i, lo_j, hi_j):
+            return jnp.maximum(
+                0.0,
+                jnp.maximum(lo_i[us][:, None] - hi_j, lo_j - hi_i[us][:, None]),
+            )
+
+        dxg = gap(uxlo, uxhi, fld(1), fld(2))
+        dyg = gap(uylo, uyhi, fld(3), fld(4))
+        dzg = gap(uzlo, uzhi, fld(5), fld(6))
+        dsq = dxg * dxg + dyg * dyg + dzg * dzg
+        cand = jnp.where(dsq <= cutsq, ids, sent16)
 
         # 4. dedup: ascending sort puts copies adjacent and sentinel
         # last; compact first occurrences via packed-key sort
@@ -324,18 +394,10 @@ def derive_rowlists_from_cells(
     # 5. exact prune + compaction (same pattern as cluster
     # derive_ilists): one packed 48-wide row gather, min over unit
     # atoms and row minor dim against cutneigh^2
-    n16 = nrows // 16
-    packed48 = jnp.concatenate(
-        [x[:, 0].reshape(n16, 16), x[:, 1].reshape(n16, 16),
-         x[:, 2].reshape(n16, 16)],
-        axis=1,
-    )
-    cutsq = cutneigh * cutneigh
+    packed48 = jnp.concatenate([xm, ym, zm], axis=1)  # (n16r, 48)
     cc = cand.shape[1]
     lpos = jnp.arange(cc, dtype=jnp.int32)
-    xi_all = x[:nlocal_pad, 0].reshape(nu, 16)
-    yi_all = x[:nlocal_pad, 1].reshape(nu, 16)
-    zi_all = x[:nlocal_pad, 2].reshape(nu, 16)
+    xi_all, yi_all, zi_all = xi16, yi16, zi16
 
     def prune_fn(u0):
         us = u0 + jnp.arange(chunk, dtype=jnp.int32)
@@ -355,7 +417,6 @@ def derive_rowlists_from_cells(
         # partial candidate row both sit at SENTINEL_COORD, so the raw
         # rsq=0 would keep junk rows (the derive-aliasing trap flagged
         # in the cluster derive too)
-        fbig = jnp.asarray(1e30, rsq.dtype)
         rsq = jnp.where(validu[us][:, :, None], rsq, fbig)
         mina = jnp.min(rsq, axis=1)
         mind = jnp.min(mina.reshape(chunk, cc, 16), axis=2)

@@ -290,7 +290,7 @@ class Simulation:
             # issues and sort rows; 34 + 7.8 ms of the 94 ms rebuild at
             # 131k) are never built. Per-atom lists for stats/tracing
             # come from per_atom_lists() on demand.
-            rows, numrows, rovf = derive_rowlists_from_cells(
+            rows, numrows, ncmax, rovf = derive_rowlists_from_cells(
                 self.grid, cl, x, self.nlocal, caps.nlocal_pad,
                 self.rcap, p.cutneigh, brcap=self.ubr,
                 ucells=self.ucl, ccap=self.ccap,
@@ -308,7 +308,7 @@ class Simulation:
             nlist = NeighborList(
                 neighbors=dummy, numneigh=dummy[0],
                 overflow=cl.overflow | rovf, rows=rows, numrows=numrows,
-                brows=brows, bcrows=bcrows, binv=binv,
+                brows=brows, bcrows=bcrows, binv=binv, ncmax=ncmax,
             )
             return x, types, halo, nlist, halo.overflow | nlist.overflow
         nlist = build_neighbors(
@@ -571,6 +571,15 @@ class Simulation:
         if target < self.rcap:
             self.rcap = target
             changed = True
+        # candidate cap from the observed post-bbox maximum (+40%
+        # heating margin): the exact-prune coordinate gather and lane
+        # count scale with ccap
+        if state0.nlist.ncmax is not None:
+            ncmax = int(np.asarray(state0.nlist.ncmax))
+            ct = max((int(ncmax * 1.4) + 7) // 8 * 8, 24)
+            if ct < self.ccap:
+                self.ccap = ct
+                changed = True
         if self.rbuckets is None and self._rowlist_backend == "pallas":
             from mdbench_tpu.ops.cluster import plan_capacity_buckets
 

@@ -208,7 +208,9 @@ def derive_rowlists_from_cells(
 
     Relies on ghosts being cell-sorted (setup_pbc sort_grid) and
     locals bin-sorted at resort so rows per cell stay few (brcap).
-    Returns (rows (nu, rcap) int32, numrows, overflow)."""
+    Returns (rows (nu, rcap) int32, numrows, ncmax, overflow) — ncmax
+    is the observed post-bbox candidate maximum (drives the engine's
+    ccap calibration)."""
     nrows = x.shape[0]
     assert nrows % 16 == 0 and nlocal_pad % 16 == 0 and rcap % 8 == 0
     nu = nlocal_pad // 16
@@ -438,7 +440,7 @@ def derive_rowlists_from_cells(
     rows_out = outs.reshape(nu, rcap)
     numrows = nrs.reshape(nu)
     overflow = bovf | sovf | covf | jnp.any(numrows > rcap)
-    return rows_out, numrows, overflow
+    return rows_out, numrows, jnp.max(ncs), overflow
 
 
 def compute_force_lj_rowlist(

@@ -96,6 +96,8 @@ class NeighborList(NamedTuple):
     brows: jnp.ndarray | None = None  # (total_units, rcap) permuted
     bcrows: jnp.ndarray | None = None  # (total_units*2,) xi 8-row ids
     binv: jnp.ndarray | None = None  # (nlocal_pad/8,) output inverse
+    ncmax: jnp.ndarray | None = None  # () observed post-bbox candidate
+    # maximum (drives ccap calibration)
 
 
 def make_box(params: Params) -> Box:

@@ -188,7 +188,7 @@ def test_direct_rowlists_match_per_atom_union():
     rows_a, num_a, ovf_a = derive_rowlists(
         nl, caps.nlocal_pad, x.shape[0], rcap
     )
-    rows_b, num_b, ovf_b = derive_rowlists_from_cells(
+    rows_b, num_b, _nc, ovf_b = derive_rowlists_from_cells(
         sim.grid, cl, x, sim.nlocal, caps.nlocal_pad, rcap,
         p.cutneigh, brcap=24, ucells=8, ccap=256,
     )

@@ -90,7 +90,7 @@ def run_variant(name, overrides, probe_phases=True):
     if sim._rowlist:
 
         def f_rows(x):
-            rows, numrows, _o = derive_rowlists_from_cells(
+            rows, numrows, _nc, _o = derive_rowlists_from_cells(
                 sim.grid, cl0, x, sim.nlocal, caps.nlocal_pad,
                 sim.rcap, pp.cutneigh, brcap=sim.ubr,
                 ucells=sim.ucl, ccap=sim.ccap,
@@ -101,7 +101,7 @@ def run_variant(name, overrides, probe_phases=True):
             "%-10s  rowbuild   : %.3f ms"
             % (name, timeit(f_rows, st.x) * 1e3)
         )
-        rows, numrows, _ = derive_rowlists_from_cells(
+        rows, numrows, _nc, _ = derive_rowlists_from_cells(
             sim.grid, cl0, st.x, sim.nlocal, caps.nlocal_pad,
             sim.rcap, pp.cutneigh, brcap=sim.ubr, ucells=sim.ucl,
             ccap=sim.ccap,

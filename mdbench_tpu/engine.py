@@ -561,9 +561,20 @@ class Simulation:
         cost ~40% of the force pass at 131k). One-shot; run-time
         overflow still grows rcap via the retry loop. Same scheme as
         ClusterSimulation._calibrate_list_cap."""
-        if not self._rowlist or self._rcap_calibrated:
+        if self._rcap_calibrated:
             return False
         self._rcap_calibrated = True
+        if not self._rowlist:
+            # planar/EAM paths: shrink the list width to the observed
+            # max numneigh + drift margin — every per-pair lane AND
+            # (for EAM) every per-pair spline row gather scales with K
+            kobs = int(np.asarray(state0.nlist.numneigh).max())
+            kt = max((int(kobs * 1.2) + 7) // 8 * 8, 16)
+            if kt < self.caps.maxneighs:
+                self.caps = self.caps._replace(maxneighs=kt)
+                self._build_device_state()
+                return True
+            return False
         nrh = np.asarray(state0.nlist.numrows)
         nrmax = int(nrh.max())
         target = max((int(nrmax * 1.5) + 7) // 8 * 8, 16)

@@ -1,0 +1,16 @@
+#!/bin/bash
+# Round-3 measurement sweep — run when the axon tunnel is back.
+# Appends everything to /tmp/r3_sweep.log; each stage has its own
+# timeout so one hang doesn't eat the session.
+cd "$(dirname "$0")/.." || exit 1
+LOG=/tmp/r3_sweep.log
+run() {
+  echo "=== $* — $(date)" | tee -a "$LOG"
+  timeout "$1" "${@:2}" 2>&1 | grep -v "WARNING:.*axon" | tee -a "$LOG"
+}
+run 600 python -u tools/r3_gab.py
+run 900 python -u tools/r3_verlet.py rowlist
+run 600 python -u bench.py
+run 900 python -u tools/r3_verlet.py eam
+run 1200 python -u tools/r3_domain.py
+echo "=== sweep done $(date)" | tee -a "$LOG"

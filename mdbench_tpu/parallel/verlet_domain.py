@@ -46,7 +46,11 @@ from mdbench_tpu.models.lattice import create_fcc_lattice
 from mdbench_tpu.ops.cells import make_cell_grid, build_cells
 from mdbench_tpu.ops.lj import compute_force_lj_full
 from mdbench_tpu.ops.pbc import setup_pbc, update_pbc
-from mdbench_tpu.ops.verlet import build_neighbors
+from mdbench_tpu.ops.verlet import (
+    build_neighbors,
+    compute_force_lj_rowlist,
+    derive_rowlists_from_cells,
+)
 from mdbench_tpu.state import SENTINEL_COORD
 from mdbench_tpu.thermo import adjust_thermo, adjusted_dtforce, setup_thermo
 
@@ -170,7 +174,21 @@ class DomainSimulation:
         self.maxneighs = max(
             params.maxneighs, int(math.ceil(vol * params.rho * 1.3 / 8)) * 8
         )
-        self.nrows = self.acap + self.gcap + 2 * self.bcap + 1
+        # per-device rowlist fast path (the single-chip kernel=rowlist:
+        # packed 16-atom-row lists straight from the cell table + the
+        # exact-list kernel) — LJ only; EAM stays planar
+        self._rowlist = self.eam_dev is None and (
+            params.kernel == "rowlist"
+            or (params.kernel == "auto"
+                and jax.default_backend() == "tpu")
+        )
+        self._rl_backend = (
+            "pallas"
+            if jax.default_backend() == "tpu" and params.precision == "sp"
+            else "xla"
+        )
+        self.rcap, self.ccap, self.ucl, self.ubr = 64, 128, 6, 8
+        self._fix_row_layout()
 
         # slab-local cell grid (same static geometry on every device)
         # bin capacity: 2.5x the mean — FCC lattice planes alias against
@@ -187,6 +205,21 @@ class DomainSimulation:
         self.mesh = Mesh(np.array(jax.devices()[:ndev]), (AXIS,))
         self._xv_init = (x, v)
         self._init_host_state(x, v)
+
+    def _fix_row_layout(self):
+        """Row layout: rowlist mode needs acap aligned to the kernel's
+        unit grid (1024 atoms for the Pallas revolving output blocks,
+        16 for the XLA twin), 16-aligned ghost/border regions, and a
+        16-row all-sentinel tail; the planar path keeps one sentinel
+        row."""
+        if self._rowlist:
+            align = 1024 if self._rl_backend == "pallas" else 16
+            self.acap = (self.acap + align - 1) // align * align
+            self.gcap = (self.gcap + 15) // 16 * 16
+            self.bcap = (self.bcap + 15) // 16 * 16
+            self.nrows = self.acap + self.gcap + 2 * self.bcap + 16
+        else:
+            self.nrows = self.acap + self.gcap + 2 * self.bcap + 1
 
     def _init_host_state(self, x, v):
         p = self.params
@@ -305,6 +338,9 @@ class DomainSimulation:
             x_safe, acap, acap, gcap,
             np.array([self.slab_w, p.yprd, p.zprd]),
             (0, p.pbc_y, p.pbc_z), c,
+            # rowlist: cell-sorted ghosts keep ghost 16-rows spatially
+            # compact (same lesson as the single-chip engine)
+            sort_grid=self.grid if self._rowlist else None,
         )
         x = update_pbc(x, halo, acap)
 
@@ -354,12 +390,50 @@ class DomainSimulation:
         x = x.at[g0 + self.bcap : g0 + 2 * self.bcap].set(from_right)
         return x
 
+    def _resort_dev(self, x, v, nloc):
+        """Traced-nloc spatial resort of the slab's locals by cell id
+        (sortAtom per device): migration appends arrivals at the END of
+        the local region, so without a resort the rowlist units decay
+        into spatially arbitrary 16-atom groups and their candidate
+        sets blow up. One packed-key sort; padding sorts last."""
+        acap = self.acap
+        xl = x[:acap]
+        bs, dims = self.grid.binsize, self.grid.dims
+        bx = jnp.clip((xl[:, 0] / bs[0]).astype(jnp.int32) + 1, 0, dims[0] - 1)
+        by = jnp.clip((xl[:, 1] / bs[1]).astype(jnp.int32) + 1, 0, dims[1] - 1)
+        bz = jnp.clip((xl[:, 2] / bs[2]).astype(jnp.int32) + 1, 0, dims[2] - 1)
+        flat = (bx * dims[1] + by) * dims[2] + bz
+        live = jnp.arange(acap, dtype=jnp.int32) < nloc
+        key = jnp.where(live, flat, jnp.int32(2**31 - 1))
+        rid = jnp.arange(acap, dtype=jnp.int32)
+        _k, perm = jax.lax.sort((key, rid), num_keys=1, is_stable=False)
+        return x.at[:acap].set(xl[perm]), v[perm]
+
     def _reneighbor_dev(self, x, v, nloc):
         x = self._wrap_yz(x, nloc)
         x, v, nloc, ovf_m = self._migrate(x, v, nloc)
+        if self._rowlist:
+            x, v = self._resort_dev(x, v, nloc)
         x, halo, bmap_l, bmap_r, ovf_g = self._build_halo(x, nloc)
         x = self._exchange_borders(x, bmap_l, bmap_r)
         cl = build_cells(self.grid, x)
+        if self._rowlist:
+            from mdbench_tpu.state import NeighborList
+
+            rows, numrows, _nc, rovf = derive_rowlists_from_cells(
+                self.grid, cl, x, nloc, self.acap, self.rcap,
+                self.params.cutneigh, brcap=self.ubr, ucells=self.ucl,
+                ccap=self.ccap,
+            )
+            # rows/numrows ride the neighbors/numneigh carry slots
+            nlist = NeighborList(
+                neighbors=rows, numneigh=numrows,
+                overflow=cl.overflow | rovf,
+            )
+            ovf = jnp.stack(
+                [ovf_m, ovf_g, cl.overflow, nlist.overflow]
+            )
+            return x, v, nloc, halo, bmap_l, bmap_r, nlist, ovf
         nlist = build_neighbors(
             self.grid, cl, x, None, self.params.cutneigh**2,
             self.acap, self.acap, self.maxneighs, half=False,
@@ -373,6 +447,13 @@ class DomainSimulation:
 
     def _force_dev(self, x, nlist, halo, bmap_l, bmap_r):
         p = self.params
+        if self._rowlist:
+            # nlist.neighbors/numneigh carry the packed row lists here
+            return compute_force_lj_rowlist(
+                x, nlist.neighbors, self.acap, p.cutforce**2,
+                p.sigma6, p.epsilon, backend=self._rl_backend,
+                approx_rcp=p.approx_rcp,
+            )
         if self.eam_dev is None:
             return compute_force_lj_full(
                 x, nlist.neighbors, nlist.numneigh, self.acap,
@@ -506,7 +587,11 @@ class DomainSimulation:
         self.bcap = int(self.bcap * 1.4) + 32
         self.migcap = int(self.migcap * 1.4) + 32
         self.maxneighs = (int(self.maxneighs * 1.4) + 7) // 8 * 8
-        self.nrows = self.acap + self.gcap + 2 * self.bcap + 1
+        self.rcap = int(self.rcap * 1.6 + 7) // 8 * 8
+        self.ccap = int(self.ccap * 1.5 + 7) // 8 * 8
+        self.ucl += 2
+        self.ubr += 8
+        self._fix_row_layout()
         self.grid = self.grid._replace(
             capacity=int(self.grid.capacity * 1.5 + 7) // 8 * 8
         )
@@ -522,8 +607,13 @@ class DomainSimulation:
         hs0 = jnp.zeros((nd, self.gcap, 3), dtype)
         bl0 = jnp.zeros((nd, self.bcap), jnp.int32)
         br0 = jnp.zeros((nd, self.bcap), jnp.int32)
-        nb0 = jnp.zeros((nd, self.acap, self.maxneighs), jnp.int32)
-        nn0 = jnp.zeros((nd, self.acap), jnp.int32)
+        if self._rowlist:
+            # neighbors/numneigh slots carry the packed row lists
+            nb0 = jnp.zeros((nd, self.acap // 16, self.rcap), jnp.int32)
+            nn0 = jnp.zeros((nd, self.acap // 16), jnp.int32)
+        else:
+            nb0 = jnp.zeros((nd, self.acap, self.maxneighs), jnp.int32)
+            nn0 = jnp.zeros((nd, self.acap), jnp.int32)
         ovf0 = jnp.zeros((nd, 4), bool)
 
         run_fn = self._make_run_fn(ntimes)

@@ -258,3 +258,25 @@ def test_domain_engine_8dev():
     assert np.isfinite(out.temps).all()
     # atom conservation across migration
     assert int(np.asarray(out.state.nlocal).sum()) == dom.natoms
+
+
+def test_domain_rowlist_matches_single_device():
+    """Domain engine with the per-device rowlist fast path (resort ->
+    cell-sorted ghosts -> direct row build -> exact-list kernel, all
+    under shard_map) vs the single-chip rowlist engine: trajectory
+    parity on the CPU mesh. Tolerance is FP-summation-order noise
+    (different row partitions), not physics."""
+    from mdbench_tpu.engine import Simulation
+    from mdbench_tpu.parallel.verlet_domain import DomainSimulation
+
+    ndev = 4
+    if len(jax.devices()) < ndev:
+        pytest.skip("not enough devices")
+    mk = lambda: Params(nx=16, ny=4, nz=4, ntimes=30, reneigh_every=10,
+                        kernel="rowlist")
+    out_single = Simulation(mk()).run()
+    dom = DomainSimulation(mk(), ndev=ndev)
+    out_dom = dom.run()
+    np.testing.assert_allclose(
+        out_dom.temps, out_single.temps, rtol=1e-6, atol=1e-10
+    )

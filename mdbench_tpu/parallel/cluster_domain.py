@@ -44,14 +44,17 @@ from mdbench_tpu.ops.cluster import (
     bin_clusters,
     build_cluster_pairs,
     build_clusters,
+    derive_ilists,
     make_cluster_grid,
     make_j16_bboxes,
     setup_cluster_pbc,
     update_cluster_pbc,
 )
 from mdbench_tpu.ops.pallas.lj_cluster import (
+    lj_cluster_force_ilist_pallas,
     lj_cluster_force_pallas_stream,
     lj_cluster_force_xla,
+    lj_cluster_force_xla_ilist,
 )
 from mdbench_tpu.state import SENTINEL_COORD
 from mdbench_tpu.thermo import adjust_thermo, adjusted_dtforce, setup_thermo
@@ -123,6 +126,12 @@ class ClusterDomainSimulation:
         self.list_cap = max(
             32, int(math.ceil(vol * params.rho / 16.0 * 1.45 / 8.0)) * 8
         )
+        # exact per-i-unit lists + the single-pass kernel (the measured
+        # single-chip fast path) on every backend except the explicit
+        # group-window axes; share=2 exact lists (engine_cluster default)
+        self._ilist = params.kernel not in ("xla", "pallas")
+        self.ishare = 2
+        self.icap = 48
         # total plane rows: locals + y/z ghosts + 2 x-ghost blocks + 2 sent
         self.nrows_cl = (
             self.ncl_pad + self.gcap_rows + 4 * self.xcap16 + 2
@@ -328,11 +337,17 @@ class ClusterDomainSimulation:
         cells, bb_cells, (ovf_b, ovf_z) = bin_clusters(self.grid, bbox16)
         pairs = build_cluster_pairs(
             self.grid, cells, bb_cells, clusters.bbox, self.ncl_pad,
-            GROUP, self.list_cap,
+            GROUP, self.list_cap, need_ranges=not self._ilist,
         )
+        if self._ilist:
+            pairs = derive_ilists(
+                clusters, pairs, self.ncl_pad, GROUP, p.cutneigh,
+                self.icap, share=self.ishare,
+            )
+        iovf = pairs.iovf if pairs.iovf is not None else jnp.asarray(False)
         ovf = jnp.stack([
             ovf_m, ovf_c, halo.overflow, ovf_x, ovf_b, ovf_z,
-            pairs.overflow[0], pairs.overflow[1],
+            pairs.overflow[0], pairs.overflow[1], iovf,
         ])
         # nloc comes from migration: build_clusters treats the whole
         # acap window as "local" (sentinel padding rows become inert
@@ -361,6 +376,20 @@ class ClusterDomainSimulation:
         p = self.params
         cutsq = p.cutforce**2
         on_cpu = self.interpret
+        if self._ilist:
+            # exact-list kernels (the measured single-chip fast path);
+            # XLA twin on CPU, single-pass Pallas on TPU
+            if on_cpu:
+                return lj_cluster_force_xla_ilist(
+                    clusters.xc, clusters.yc, clusters.zc, pairs.ijlist,
+                    self.ncl_pad, cutsq, p.sigma6, p.epsilon,
+                    share=self.ishare,
+                )
+            return lj_cluster_force_ilist_pallas(
+                clusters.xc, clusters.yc, clusters.zc, pairs.ijlist,
+                self.ncl_pad, cutsq, p.sigma6, p.epsilon,
+                share=self.ishare, approx_rcp=p.approx_rcp,
+            )
         if p.kernel != "xla" and not on_cpu:
             return lj_cluster_force_pallas_stream(
                 clusters.xc, clusters.yc, clusters.zc, pairs.jlist,
@@ -474,6 +503,7 @@ class ClusterDomainSimulation:
         self.xcap16 = int(self.xcap16 * 1.4) + 32
         self.migcap = int(self.migcap * 1.4) + 32
         self.list_cap = (int(self.list_cap * 1.4) + 7) // 8 * 8
+        self.icap = (int(self.icap * 1.5) + 7) // 8 * 8
         self.nrows_cl = (
             self.ncl_pad + self.gcap_rows + 4 * self.xcap16 + 2
         )

@@ -280,3 +280,26 @@ def test_domain_rowlist_matches_single_device():
     np.testing.assert_allclose(
         out_dom.temps, out_single.temps, rtol=1e-6, atol=1e-10
     )
+
+
+def test_cluster_domain_ilist_matches_single_device():
+    """Cluster domain engine on its DEFAULT exact-list path (derive +
+    ilist kernel per device, under shard_map) vs the single-chip
+    cluster engine on its matching ilist path."""
+    from mdbench_tpu.engine_cluster import ClusterSimulation
+    from mdbench_tpu.parallel.cluster_domain import ClusterDomainSimulation
+
+    ndev = 4
+    if len(jax.devices()) < ndev:
+        pytest.skip("not enough devices")
+    mk = lambda: Params(nx=16, ny=4, nz=4, ntimes=20, reneigh_every=10,
+                        kernel="ilist")
+    p = mk()
+    if p.xprd / ndev < p.cutneigh:
+        pytest.skip("slab under cutoff")
+    dom = ClusterDomainSimulation(mk(), ndev=ndev)
+    assert dom._ilist
+    out = dom.run()
+    assert int(out.nlocal.sum()) == dom.natoms
+    out_s = ClusterSimulation(mk()).run()
+    np.testing.assert_allclose(out.temps, out_s.temps, rtol=1e-6)

@@ -404,10 +404,22 @@ def derive_rowlists_from_cells(
     def prune_fn(u0):
         us = u0 + jnp.arange(chunk, dtype=jnp.int32)
         cu = cand[us]  # (chunk, cc)
-        rows = packed48[cu]  # (chunk, cc, 48)
-        pl3 = jnp.transpose(
-            rows.reshape(chunk, cc, 3, 16), (0, 2, 1, 3)
-        ).reshape(chunk, 3, 1, cc * 16)
+        from mdbench_tpu.ops.pallas.lj_cluster import ILIST_GATHER
+
+        if ILIST_GATHER == "fused":
+            dn = jax.lax.GatherDimensionNumbers(
+                offset_dims=(1, 3), collapsed_slice_dims=(0,),
+                start_index_map=(0,),
+            )
+            pl3 = jax.lax.gather(
+                packed48.reshape(-1, 3, 16), cu[:, :, None], dn,
+                (1, 3, 16),
+            ).reshape(chunk, 3, 1, cc * 16)
+        else:
+            rows = packed48[cu]  # (chunk, cc, 48)
+            pl3 = jnp.transpose(
+                rows.reshape(chunk, cc, 3, 16), (0, 2, 1, 3)
+            ).reshape(chunk, 3, 1, cc * 16)
         xi = xi_all[us][:, :, None]
         yi = yi_all[us][:, :, None]
         zi = zi_all[us][:, :, None]

@@ -198,9 +198,10 @@ def derive_rowlists_from_cells(
     the rowlist path's fast rebuild. Replaces per-atom verlet lists +
     union (34 + 7.8 ms at 131k) with a unit-granular pipeline (~16x
     fewer gather issues and sort rows): per cell, the distinct 16-rows
-    of its atoms; per 16-atom unit, the cells within its per-dim cell
-    range +-1; dedup; then the EXACT unit-row min-distance check
-    against cutneigh. The kept set is provably identical to
+    of its atoms with their bboxes; per 16-atom unit, the 3x3 xy
+    stencil of its distinct cells fetched as z-runs; a bbox gap test
+    vs the unit bbox; dedup; then the EXACT unit-row min-distance
+    check against cutneigh. The kept set is provably identical to
     derive_rowlists' union of exact per-atom lists (a row is kept iff
     some (i in unit, j in row) pair is within cutneigh), so forces are
     identical. Reference analogue: buildNeighbor's stencil+cutoff

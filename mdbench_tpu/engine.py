@@ -579,7 +579,9 @@ class Simulation:
         nrmax = int(nrh.max())
         target = max((int(nrmax * 1.5) + 7) // 8 * 8, 16)
         changed = False
-        if target < self.rcap:
+        # move BOTH ways: growing here (heating margin over the t=0
+        # max) is cheaper than paying a full run + overflow retry
+        if target != self.rcap:
             self.rcap = target
             changed = True
         # candidate cap from the observed post-bbox maximum (+40%
@@ -588,7 +590,7 @@ class Simulation:
         if state0.nlist.ncmax is not None:
             ncmax = int(np.asarray(state0.nlist.ncmax))
             ct = max((int(ncmax * 1.4) + 7) // 8 * 8, 24)
-            if ct < self.ccap:
+            if ct != self.ccap:
                 self.ccap = ct
                 changed = True
         if self.rbuckets is None and self._rowlist_backend == "pallas":

@@ -47,7 +47,11 @@ from mdbench_tpu.models.lattice import create_fcc_lattice
 from mdbench_tpu.ops.cells import build_cells, make_cell_grid
 from mdbench_tpu.ops.lj import compute_force_lj_full
 from mdbench_tpu.ops.pbc import setup_pbc, update_pbc
-from mdbench_tpu.ops.verlet import build_neighbors
+from mdbench_tpu.ops.verlet import (
+    build_neighbors,
+    compute_force_lj_rowlist,
+    derive_rowlists_from_cells,
+)
 from mdbench_tpu.state import SENTINEL_COORD
 from mdbench_tpu.thermo import adjust_thermo, setup_thermo
 
@@ -97,9 +101,17 @@ class Domain2DSimulation:
         self.maxneighs = max(
             params.maxneighs, int(math.ceil(vol * params.rho * 1.3 / 8)) * 8
         )
-        self.nrows = (
-            self.acap + self.gcap + 2 * self.bxcap + 2 * self.bycap + 1
+        # per-device rowlist fast path (same scheme as verlet_domain)
+        self._rowlist = params.kernel == "rowlist" or (
+            params.kernel == "auto" and jax.default_backend() == "tpu"
         )
+        self._rl_backend = (
+            "pallas"
+            if jax.default_backend() == "tpu" and params.precision == "sp"
+            else "xla"
+        )
+        self.rcap, self.ccap, self.ucl, self.ubr = 64, 128, 6, 8
+        self._fix_row_layout()
         # bin capacity: 2.5x the mean — FCC lattice planes alias against
         # the bin boundaries, so some bins run well above the mean and the
         # domain engines have no grow-and-retry loop (the single-chip
@@ -115,6 +127,38 @@ class Domain2DSimulation:
         self.mesh = Mesh(devs, (AX, AY))
         self._xv_init = (x, v)
         self._init_host_state(x, v)
+
+    def _fix_row_layout(self):
+        if self._rowlist:
+            align = 1024 if self._rl_backend == "pallas" else 16
+            self.acap = (self.acap + align - 1) // align * align
+            self.gcap = (self.gcap + 15) // 16 * 16
+            self.bxcap = (self.bxcap + 15) // 16 * 16
+            self.bycap = (self.bycap + 15) // 16 * 16
+            self.nrows = (
+                self.acap + self.gcap + 2 * self.bxcap
+                + 2 * self.bycap + 16
+            )
+        else:
+            self.nrows = (
+                self.acap + self.gcap + 2 * self.bxcap
+                + 2 * self.bycap + 1
+            )
+
+    def _resort_dev(self, x, v, nloc):
+        """Traced-nloc spatial resort by cell id (see verlet_domain)."""
+        acap = self.acap
+        xl = x[:acap]
+        bs, dims = self.grid.binsize, self.grid.dims
+        bx = jnp.clip((xl[:, 0] / bs[0]).astype(jnp.int32) + 1, 0, dims[0] - 1)
+        by = jnp.clip((xl[:, 1] / bs[1]).astype(jnp.int32) + 1, 0, dims[1] - 1)
+        bz = jnp.clip((xl[:, 2] / bs[2]).astype(jnp.int32) + 1, 0, dims[2] - 1)
+        flat = (bx * dims[1] + by) * dims[2] + bz
+        live = jnp.arange(acap, dtype=jnp.int32) < nloc
+        key = jnp.where(live, flat, jnp.int32(2**31 - 1))
+        rid = jnp.arange(acap, dtype=jnp.int32)
+        _k, perm = jax.lax.sort((key, rid), num_keys=1, is_stable=False)
+        return x.at[:acap].set(xl[perm]), v[perm]
 
     def _init_host_state(self, x, v):
         dtype = self.params.dtype
@@ -230,6 +274,7 @@ class Domain2DSimulation:
             x_safe, acap, acap, gcap,
             np.array([self.wx, self.wy, p.zprd]),
             (0, 0, p.pbc_z), c,
+            sort_grid=self.grid if self._rowlist else None,
         )
         x = update_pbc(x, halo, acap)
 
@@ -306,15 +351,30 @@ class Domain2DSimulation:
         x, v, nloc, ovf_my = self._migrate_axis(
             x, v, nloc, AY, self.py, self.wy, 1
         )
+        if self._rowlist:
+            x, v = self._resort_dev(x, v, nloc)
         x, halo, bxl, bxr, ovf_g = self._build_halo(x, nloc)
         x = self._exchange_x(x, bxl, bxr)
         byd, byu, ovf_y = self._build_y_maps(x)
         x = self._exchange_y(x, byd, byu)
         cl = build_cells(self.grid, x)
-        nlist = build_neighbors(
-            self.grid, cl, x, None, self.params.cutneigh**2,
-            self.acap, self.acap, self.maxneighs, half=False,
-        )
+        if self._rowlist:
+            from mdbench_tpu.state import NeighborList
+
+            rows, numrows, _nc, rovf = derive_rowlists_from_cells(
+                self.grid, cl, x, nloc, self.acap, self.rcap,
+                self.params.cutneigh, brcap=self.ubr, ucells=self.ucl,
+                ccap=self.ccap,
+            )
+            nlist = NeighborList(
+                neighbors=rows, numneigh=numrows,
+                overflow=cl.overflow | rovf,
+            )
+        else:
+            nlist = build_neighbors(
+                self.grid, cl, x, None, self.params.cutneigh**2,
+                self.acap, self.acap, self.maxneighs, half=False,
+            )
         ovf = jnp.stack(
             [ovf_mx | ovf_my, ovf_g, ovf_y, cl.overflow | nlist.overflow]
         )
@@ -351,6 +411,12 @@ class Domain2DSimulation:
                 return x, v
 
             def force(x, nlist):
+                if self._rowlist:
+                    return compute_force_lj_rowlist(
+                        x, nlist.neighbors, acap, p.cutforce**2,
+                        p.sigma6, p.epsilon, backend=self._rl_backend,
+                        approx_rcp=p.approx_rcp,
+                    )
                 return compute_force_lj_full(
                     x, nlist.neighbors, nlist.numneigh, acap,
                     p.cutforce**2, p.sigma6, p.epsilon,
@@ -419,9 +485,11 @@ class Domain2DSimulation:
         self.bycap = int(self.bycap * 1.4) + 32
         self.migcap = int(self.migcap * 1.4) + 32
         self.maxneighs = (int(self.maxneighs * 1.4) + 7) // 8 * 8
-        self.nrows = (
-            self.acap + self.gcap + 2 * self.bxcap + 2 * self.bycap + 1
-        )
+        self.rcap = int(self.rcap * 1.6 + 7) // 8 * 8
+        self.ccap = int(self.ccap * 1.5 + 7) // 8 * 8
+        self.ucl += 2
+        self.ubr += 8
+        self._fix_row_layout()
         self.grid = self.grid._replace(
             capacity=int(self.grid.capacity * 1.5 + 7) // 8 * 8
         )

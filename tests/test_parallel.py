@@ -303,3 +303,24 @@ def test_cluster_domain_ilist_matches_single_device():
     assert int(out.nlocal.sum()) == dom.natoms
     out_s = ClusterSimulation(mk()).run()
     np.testing.assert_allclose(out.temps, out_s.temps, rtol=1e-6)
+
+
+def test_domain2d_rowlist_matches_single_device():
+    """2-D pencil engine on the rowlist fast path vs the single-chip
+    rowlist engine."""
+    from mdbench_tpu.engine import Simulation
+    from mdbench_tpu.parallel.verlet_domain2d import Domain2DSimulation
+
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough devices")
+    mk = lambda: Params(nx=8, ny=8, nz=4, ntimes=20, reneigh_every=10,
+                        kernel="rowlist")
+    p = mk()
+    if p.xprd / 2 < p.cutneigh or p.yprd / 2 < p.cutneigh:
+        pytest.skip("pencil under cutoff")
+    out_single = Simulation(mk()).run()
+    dom = Domain2DSimulation(mk(), px=2, py=2)
+    out = dom.run()
+    np.testing.assert_allclose(
+        out.temps, out_single.temps, rtol=1e-6, atol=1e-10
+    )

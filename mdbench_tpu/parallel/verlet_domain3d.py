@@ -33,7 +33,11 @@ from mdbench_tpu.config import Params
 from mdbench_tpu.models.lattice import create_fcc_lattice
 from mdbench_tpu.ops.cells import build_cells, make_cell_grid
 from mdbench_tpu.ops.lj import compute_force_lj_full
-from mdbench_tpu.ops.verlet import build_neighbors
+from mdbench_tpu.ops.verlet import (
+    build_neighbors,
+    compute_force_lj_rowlist,
+    derive_rowlists_from_cells,
+)
 from mdbench_tpu.state import SENTINEL_COORD
 from mdbench_tpu.thermo import adjust_thermo, adjusted_dtforce, setup_thermo
 
@@ -87,7 +91,17 @@ class Domain3DSimulation:
         self.maxneighs = max(
             params.maxneighs, int(math.ceil(vol * params.rho * 1.3 / 8)) * 8
         )
-        self.nrows = self.acap + 2 * sum(self.bcap) + 1
+        # per-device rowlist fast path (same scheme as verlet_domain)
+        self._rowlist = params.kernel == "rowlist" or (
+            params.kernel == "auto" and jax.default_backend() == "tpu"
+        )
+        self._rl_backend = (
+            "pallas"
+            if jax.default_backend() == "tpu" and params.precision == "sp"
+            else "xla"
+        )
+        self.rcap, self.ccap, self.ucl, self.ubr = 64, 128, 6, 8
+        self._fix_row_layout()
         # bin capacity: 2.5x the mean — FCC lattice planes alias against
         # the bin boundaries, so some bins run well above the mean and the
         # domain engines have no grow-and-retry loop (the single-chip
@@ -230,11 +244,37 @@ class Domain3DSimulation:
         x = x.at[g0 + cap : g0 + 2 * cap].set(from_r)
         return x
 
+    def _fix_row_layout(self):
+        if self._rowlist:
+            align = 1024 if self._rl_backend == "pallas" else 16
+            self.acap = (self.acap + align - 1) // align * align
+            self.bcap = [(b + 15) // 16 * 16 for b in self.bcap]
+            self.nrows = self.acap + 2 * sum(self.bcap) + 16
+        else:
+            self.nrows = self.acap + 2 * sum(self.bcap) + 1
+
+    def _resort_dev(self, x, v, nloc):
+        """Traced-nloc spatial resort by cell id (see verlet_domain)."""
+        acap = self.acap
+        xl = x[:acap]
+        bs, dims = self.grid.binsize, self.grid.dims
+        bx = jnp.clip((xl[:, 0] / bs[0]).astype(jnp.int32) + 1, 0, dims[0] - 1)
+        by = jnp.clip((xl[:, 1] / bs[1]).astype(jnp.int32) + 1, 0, dims[1] - 1)
+        bz = jnp.clip((xl[:, 2] / bs[2]).astype(jnp.int32) + 1, 0, dims[2] - 1)
+        flat = (bx * dims[1] + by) * dims[2] + bz
+        live = jnp.arange(acap, dtype=jnp.int32) < nloc
+        key = jnp.where(live, flat, jnp.int32(2**31 - 1))
+        rid = jnp.arange(acap, dtype=jnp.int32)
+        _k, perm = jax.lax.sort((key, rid), num_keys=1, is_stable=False)
+        return x.at[:acap].set(xl[perm]), v[perm]
+
     def _reneighbor_dev(self, x, v, nloc):
         ovf_m = jnp.asarray(False)
         for d in range(3):
             x, v, nloc, o = self._migrate_axis(x, v, nloc, d)
             ovf_m = ovf_m | o
+        if self._rowlist:
+            x, v = self._resort_dev(x, v, nloc)
         maps = []
         ovf_b = jnp.asarray(False)
         for d in range(3):
@@ -243,10 +283,23 @@ class Domain3DSimulation:
             x = self._exchange_axis(x, d, ml, mr)
             maps.append((ml, mr))
         cl = build_cells(self.grid, x)
-        nlist = build_neighbors(
-            self.grid, cl, x, None, self.params.cutneigh**2,
-            self.acap, self.acap, self.maxneighs, half=False,
-        )
+        if self._rowlist:
+            from mdbench_tpu.state import NeighborList
+
+            rows, numrows, _nc, rovf = derive_rowlists_from_cells(
+                self.grid, cl, x, nloc, self.acap, self.rcap,
+                self.params.cutneigh, brcap=self.ubr, ucells=self.ucl,
+                ccap=self.ccap,
+            )
+            nlist = NeighborList(
+                neighbors=rows, numneigh=numrows,
+                overflow=cl.overflow | rovf,
+            )
+        else:
+            nlist = build_neighbors(
+                self.grid, cl, x, None, self.params.cutneigh**2,
+                self.acap, self.acap, self.maxneighs, half=False,
+            )
         ovf = jnp.stack([ovf_m, ovf_b, cl.overflow, nlist.overflow])
         return x, v, nloc, maps, nlist, ovf
 
@@ -283,6 +336,12 @@ class Domain3DSimulation:
                 return x, v
 
             def force(x, nlist):
+                if self._rowlist:
+                    return compute_force_lj_rowlist(
+                        x, nlist.neighbors, acap, p.cutforce**2,
+                        p.sigma6, p.epsilon, backend=self._rl_backend,
+                        approx_rcp=p.approx_rcp,
+                    )
                 return compute_force_lj_full(
                     x, nlist.neighbors, nlist.numneigh, acap,
                     p.cutforce**2, p.sigma6, p.epsilon,
@@ -343,7 +402,11 @@ class Domain3DSimulation:
         self.bcap = [int(b * 1.4) + 32 for b in self.bcap]
         self.migcap = int(self.migcap * 1.4) + 32
         self.maxneighs = (int(self.maxneighs * 1.4) + 7) // 8 * 8
-        self.nrows = self.acap + 2 * sum(self.bcap) + 1
+        self.rcap = int(self.rcap * 1.6 + 7) // 8 * 8
+        self.ccap = int(self.ccap * 1.5 + 7) // 8 * 8
+        self.ucl += 2
+        self.ubr += 8
+        self._fix_row_layout()
         self.grid = self.grid._replace(
             capacity=int(self.grid.capacity * 1.5 + 7) // 8 * 8
         )

@@ -324,3 +324,24 @@ def test_domain2d_rowlist_matches_single_device():
     np.testing.assert_allclose(
         out.temps, out_single.temps, rtol=1e-6, atol=1e-10
     )
+
+
+def test_domain3d_rowlist_matches_single_device():
+    """3-D brick engine on the rowlist fast path vs the single-chip
+    rowlist engine (2x2x2 mesh)."""
+    from mdbench_tpu.engine import Simulation
+    from mdbench_tpu.parallel.verlet_domain3d import Domain3DSimulation
+
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough devices")
+    mk = lambda: Params(nx=8, ny=8, nz=8, ntimes=20, reneigh_every=10,
+                        kernel="rowlist")
+    p = mk()
+    if min(p.xprd, p.yprd, p.zprd) / 2 < p.cutneigh:
+        pytest.skip("brick under cutoff")
+    out_single = Simulation(mk()).run()
+    dom = Domain3DSimulation(mk(), px=2, py=2, pz=2)
+    out = dom.run()
+    np.testing.assert_allclose(
+        out.temps, out_single.temps, rtol=1e-6, atol=1e-10
+    )

@@ -39,6 +39,9 @@ HELP = """MD Bench (TPU): A performance-oriented prototyping harness for MD algo
                             (cluster: ilist* exact-list kernels, pallas =
                             streaming group windows; verlet: rowlist =
                             packed-row TPU fast path, xla = planar)
+--eam-eval <auto|spline|poly>: EAM per-pair table evaluation (spline =
+                            reference-exact gathered splines; poly =
+                            gather-free fitted polynomials, TPU fast axis)
 --trace-index <prefix>:     dump INDEX_TRACER-style neighbor-index trace
                             of the initial lists (reference tracing.h:47-123)
 --timers <est|diff>:        FORCE/NEIGH timing: out-of-band estimates
@@ -103,6 +106,8 @@ def parse_args(argv) -> Params:
             p.precision = nxt()
         elif a == "--kernel":
             p.kernel = nxt()
+        elif a == "--eam-eval":
+            p.eam_eval = nxt()
         elif a == "--trace-index":
             p.trace_index = nxt()
         elif a == "--trace-mem":

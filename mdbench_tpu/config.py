@@ -125,6 +125,13 @@ class Params:
     # bench.py holds) — saves the multi-op exact divide per pair tile
     # (measured -8% per step on the 131k workload)
     approx_rcp: bool = True
+    # EAM per-pair table evaluation: "spline" (the reference's 7-coeff
+    # spline gathered by grid index — exact DP parity axis) or "poly"
+    # (global Chebyshev-fit polynomials for the per-pair functions,
+    # evaluated in-register — zero per-pair table gathers, the TPU fast
+    # axis; per-atom frho stays on the spline). "auto" = poly on TPU
+    # SP runs, spline otherwise.
+    eam_eval: str = "auto"
     # Tracing/profiling hooks (reference MEM_TRACER / INDEX_TRACER /
     # LIKWID, SURVEY §5.1): output path prefixes; empty = off
     trace_index: str = ""
@@ -211,7 +218,7 @@ def read_parameter_file(params: Params, filename: str) -> Params:
             elif tok in _REAL_KEYS:
                 setattr(params, tok, float(val))
             # TPU-build extension keys (ignored by the C reference)
-            elif tok in ("scheme", "precision", "kernel"):
+            elif tok in ("scheme", "precision", "kernel", "eam_eval"):
                 setattr(params, tok, val)
     params.finalize()
     return params

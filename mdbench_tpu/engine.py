@@ -121,6 +121,7 @@ class Simulation:
     ):
         self.params = params
         self.eam_tables = None
+        self.eam_poly = None
         if params.force_field == FF_EAM:
             # EAM file load overrides several params BEFORE the lattice is
             # generated (reference: setup() calls initEam first, main.c:38)
@@ -259,6 +260,18 @@ class Simulation:
                 z2r=jnp.asarray(t.z2r_spline, dtype),
                 rdr=t.rdr, rdrho=t.rdrho, nr=t.nr, nrho=t.nrho,
             )
+            # gather-free per-pair fast axis (eam_eval="poly"; "auto" =
+            # poly on TPU SP runs — the spline stays the DP parity axis)
+            use_poly = p.eam_eval == "poly" or (
+                p.eam_eval == "auto"
+                and p.precision == "sp"
+                and jax.default_backend() == "tpu"
+            )
+            self.eam_poly = None
+            if use_poly:
+                from mdbench_tpu.models.eam_tables import fit_eam_poly
+
+                self.eam_poly = fit_eam_poly(t)
 
     # -- device-side phases ------------------------------------------------
 
@@ -366,8 +379,18 @@ class Simulation:
                 types=types, tables=self.tables,
             )
         elif p.force_field == FF_EAM:
-            from mdbench_tpu.ops.eam import compute_force_eam
+            from mdbench_tpu.ops.eam import (
+                compute_force_eam,
+                compute_force_eam_poly,
+            )
 
+            if self.eam_poly is not None:
+                f, _fp = compute_force_eam_poly(
+                    x, nlist.neighbors, nlist.numneigh, halo.border_map,
+                    self.nlocal, caps.nlocal_pad, p.cutforce**2,
+                    self.eam_dev, self.eam_poly,
+                )
+                return f
             f, _fp = compute_force_eam(
                 x, nlist.neighbors, nlist.numneigh, halo.border_map,
                 self.nlocal, caps.nlocal_pad, p.cutforce**2, self.eam_dev,

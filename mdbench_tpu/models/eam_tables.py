@@ -168,6 +168,87 @@ def load_eam(filename: str) -> EamTables:
     )
 
 
+def spline_eval_np(sp: np.ndarray, x: np.ndarray, rd: float, n: int):
+    """NumPy twin of the device spline lookup (ops/eam._grid_index +
+    the value/derivative Horner forms, reference force_eam.c:74-110).
+    Used by the polynomial fitter and by tests as the exact oracle."""
+    p = x * rd + 1.0
+    m = np.clip(np.floor(p).astype(np.int64), 1, n - 1)
+    frac = np.minimum(p - m, 1.0)
+    c = sp[m]
+    val = ((c[..., 3] * frac + c[..., 4]) * frac + c[..., 5]) * frac + c[..., 6]
+    der = (c[..., 0] * frac + c[..., 1]) * frac + c[..., 2]
+    return val, der
+
+
+class EamPoly(NamedTuple):
+    """Gather-free per-pair EAM evaluation: global polynomial fits of
+    the three per-pair functions the force path needs, over the
+    physical pair-distance window [lo, cut]:
+
+      dens(r)  = rhor spline value          (pass-1 density sum)
+      g1(r)    = rhor'(r) / r               (pass-2: fpair embedding term)
+      g2(r)    = (z2'(r)/r - z2(r)/r^2) / r (pass-2: fpair pair term)
+
+    so that  fpair = -((fp_i + fp_j) * g1 + g2)  with NO per-pair table
+    gather and NO reciprocal chain (the 1/r factors are folded into the
+    fits). Coefficients are power-basis in the mapped variable
+    t = (r - mid) * iscale in [-1, 1] (Chebyshev-fit then converted;
+    f32 Horner at degree 16 reproduces the spline to ~1e-6 of each
+    function's max — below the spline's own inter-knot wiggle).
+
+    The fit window starts at `lo` (default 1.5 A — far below any
+    physical pair distance in a condensed system; Cu FCC nearest
+    neighbor is ~2.49 A); r below `lo` clamps to the window edge, which
+    only matters for unphysical overlapping atoms. The per-ATOM frho
+    embedding spline is NOT fitted: its gather is one row per atom
+    (cheap), and exactness there preserves the energy scale."""
+
+    lo: float
+    cut: float
+    mid: float  # (lo+cut)/2
+    iscale: float  # 2/(cut-lo)
+    dens: np.ndarray  # (deg+1,) power-basis, highest degree LAST
+    g1: np.ndarray
+    g2: np.ndarray
+    max_rel_err: float  # fit diagnostic (max over the 3 fns, vs fn max)
+
+
+def fit_eam_poly(
+    tables: EamTables, lo: float = 1.5, degree: int = 16,
+    samples: int = 200001,
+) -> EamPoly:
+    """Chebyshev-fit the per-pair spline functions on [lo, cut]. The
+    fit target is the SPLINE's own evaluation (not the raw funcfl
+    data): the DP spline path is the parity oracle, so the fast path
+    approximates it, wiggles and all."""
+    from numpy.polynomial import chebyshev as _C
+
+    cut = tables.cut
+    r = np.linspace(lo, cut, samples)
+    t = 2.0 * (r - lo) / (cut - lo) - 1.0
+    rho_v, rho_d = spline_eval_np(tables.rhor_spline, r, tables.rdr, tables.nr)
+    z2_v, z2_d = spline_eval_np(tables.z2r_spline, r, tables.rdr, tables.nr)
+    fns = {
+        "dens": rho_v,
+        "g1": rho_d / r,
+        "g2": (z2_d / r - z2_v / (r * r)) / r,
+    }
+    coefs = {}
+    err = 0.0
+    for name, y in fns.items():
+        cf = _C.chebfit(t, y, degree)
+        pw = _C.cheb2poly(cf)  # power basis in t, ascending
+        coefs[name] = pw.astype(np.float64)
+        yy = np.polyval(pw[::-1], t)
+        err = max(err, float(np.max(np.abs(yy - y)) / np.max(np.abs(y))))
+    return EamPoly(
+        lo=lo, cut=cut, mid=0.5 * (lo + cut), iscale=2.0 / (cut - lo),
+        dens=coefs["dens"], g1=coefs["g1"], g2=coefs["g2"],
+        max_rel_err=err,
+    )
+
+
 def apply_eam_overrides(params: Params, tables: EamTables) -> Params:
     """initEam's parameter overrides (eam_utils.c:29-37). NOTE: dtforce
     becomes 0.5*dt/mass here (and thermo later divides it by mvv2e,

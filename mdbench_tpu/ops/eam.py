@@ -126,3 +126,84 @@ def compute_force_eam(
     fy = jnp.sum(dy * fpair, axis=1)
     fz = jnp.sum(dz * fpair, axis=1)
     return jnp.stack([fx, fy, fz], axis=1), fp
+
+
+def _horner(coefs, t):
+    """Power-basis Horner with STATIC Python-float coefficients —
+    XLA folds them into the fused elementwise chain; zero operands,
+    zero gathers. `coefs` ascending (numpy polynomial convention)."""
+    acc = jnp.full_like(t, float(coefs[-1]))
+    for c in coefs[-2::-1]:
+        acc = acc * t + float(c)
+    return acc
+
+
+def compute_force_eam_poly(
+    x: jnp.ndarray,
+    neighbors: jnp.ndarray,
+    numneigh: jnp.ndarray,
+    border_map: jnp.ndarray,
+    nlocal: int,
+    nlocal_pad: int,
+    cutforcesq: float,
+    eam: EamDevice,
+    poly,  # models.eam_tables.EamPoly (host-side, coefficients static)
+    fp_exchange=None,
+):
+    """Gather-free-per-pair EAM force twin of compute_force_eam: the
+    rhor/z2r spline lookups (a per-pair row gather — the issue-bound
+    op class, PERF.md lesson 1) are replaced by global polynomial
+    evaluation in-register (models/eam_tables.fit_eam_poly):
+
+      pass 1: rho_i = sum dens(r_ij)
+      pass 2: fpair = -((fp_i + fp_j) * g1(r) + g2(r))
+
+    identical force law (the 1/r chain is folded into g1/g2), ~1e-6
+    function accuracy — the SP/TPU fast axis. frho (per-ATOM, one
+    cheap gather) stays on the exact spline. Same two-pass structure
+    and fp_exchange contract as compute_force_eam
+    (reference force_eam.c:20-231)."""
+    k = neighbors.shape[1]
+    lane = jnp.arange(k, dtype=jnp.int32)[None, :]
+    valid = lane < numneigh[:, None]
+
+    xj = x[neighbors]
+    xi = x[:nlocal_pad]
+    dx = xi[:, 0, None] - xj[:, :, 0]
+    dy = xi[:, 1, None] - xj[:, :, 1]
+    dz = xi[:, 2, None] - xj[:, :, 2]
+    rsq = dx * dx + dy * dy + dz * dz
+    mask = valid & (rsq < cutforcesq)
+    r = jnp.sqrt(jnp.where(mask, rsq, 1.0))
+    # mapped fit variable; clamp covers r < lo (unphysical overlap) and
+    # the masked-out filler r=1.0
+    t = jnp.clip((r - poly.mid) * poly.iscale, -1.0, 1.0)
+
+    # pass 1: embedding density (force_eam.c:60-90)
+    rhoi = jnp.sum(jnp.where(mask, _horner(poly.dens, t), 0.0), axis=1)
+
+    mf, pf = _grid_index(rhoi, eam.rdrho, eam.nrho)
+    fs = eam.frho[mf]  # per-atom row gather — cheap, kept exact
+    fp_local = (fs[:, 0] * pf + fs[:, 1]) * pf + fs[:, 2]
+
+    nrows = x.shape[0]
+    fp = jnp.zeros((nrows,), x.dtype)
+    fp = fp.at[:nlocal_pad].set(fp_local)
+    if fp_exchange is None:
+        gcap = border_map.shape[0]
+        fp = fp.at[nlocal_pad : nlocal_pad + gcap].set(fp[border_map])
+    else:
+        fp = fp_exchange(fp)
+
+    # pass 2: pair forces (force_eam.c:122-227), recip chain pre-folded
+    fpj = fp[neighbors]
+    fpair = jnp.where(
+        mask,
+        -((fp_local[:, None] + fpj) * _horner(poly.g1, t)
+          + _horner(poly.g2, t)),
+        0.0,
+    )
+    fx = jnp.sum(dx * fpair, axis=1)
+    fy = jnp.sum(dy * fpair, axis=1)
+    fz = jnp.sum(dz * fpair, axis=1)
+    return jnp.stack([fx, fy, fz], axis=1), fp

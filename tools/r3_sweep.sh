@@ -11,7 +11,7 @@ run() {
 run 600 python -u tools/r3_gab.py
 run 900 python -u tools/r3_verlet.py rowlist
 run 600 python -u bench.py
-run 900 python -u tools/r3_verlet.py eam
+run 900 python -u tools/r3_verlet.py eam eam_poly
 run 900 python -u tools/r3_bf16.py golden
 run 1200 python -u tools/r3_domain.py
 echo "=== sweep done $(date)" | tee -a "$LOG"

@@ -120,15 +120,18 @@ def main():
             run_variant("rowlist", {"kernel": "rowlist"})
         elif name == "xla":
             run_variant("xla", {"kernel": "xla"})
-        elif name == "eam":
+        elif name in ("eam", "eam_poly"):
             from mdbench_tpu.config import FF_EAM
 
             run_variant(
-                "eam",
+                name,
                 {
                     "force_field": FF_EAM,
                     "eam_file": "/root/reference/data/Cu_u3.eam",
                     "ntimes": 60,
+                    # "eam" = per-pair spline gathers (issue-bound);
+                    # "eam_poly" = gather-free polynomial evaluation
+                    "eam_eval": "spline" if name == "eam" else "poly",
                 },
             )
         else:

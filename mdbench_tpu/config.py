@@ -132,6 +132,12 @@ class Params:
     # axis; per-atom frho stays on the spline). "auto" = poly on TPU
     # SP runs, spline otherwise.
     eam_eval: str = "auto"
+    # run the exact-list derive prune's distance math in bfloat16 with
+    # a rigorous-superset inflated cutoff (ops/cluster.derive_ilists):
+    # halves the dominant rebuild VPU cost for a ~boundary-shell of
+    # extra list entries. SP cluster scheme only; default off until
+    # measured on hardware (tools/r3_derive16.py A/B).
+    derive_bf16: bool = False
     # Tracing/profiling hooks (reference MEM_TRACER / INDEX_TRACER /
     # LIKWID, SURVEY §5.1): output path prefixes; empty = off
     trace_index: str = ""

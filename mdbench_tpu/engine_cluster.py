@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mdbench_tpu.config import FF_LJ, Params
+from mdbench_tpu.config import FF_EAM, FF_LJ, Params
 from mdbench_tpu.models.lattice import create_fcc_lattice
 from mdbench_tpu.ops.cluster import (
     ClusterGrid,
@@ -104,6 +104,30 @@ class ClusterSimulation:
     ):
         self.params = params
         self._force_reps = 1  # cli --timers diff sets 2 (in-loop timing)
+        # EAM on the cluster scheme (the reference's clusterpair EAM is
+        # a dead stub, force_eam.c:20-37 — this axis EXCEEDS it): same
+        # exact ilists as LJ, two-pass force with polynomial pair
+        # evaluation (ops/eam_cluster). Overrides land BEFORE the
+        # lattice is generated, like engine.Simulation.
+        self.eam_tables = None
+        self.eam_dev = None
+        self.eam_poly = None
+        if params.force_field == FF_EAM:
+            from mdbench_tpu.models.eam_tables import (
+                apply_eam_overrides,
+                fit_eam_poly,
+                load_eam,
+            )
+
+            if not params.eam_file:
+                raise ValueError("force_field=eam requires eam_file")
+            if params.half_neigh:
+                raise ValueError(
+                    "cluster-scheme EAM supports full neighbor lists only"
+                )
+            self.eam_tables = load_eam(params.eam_file)
+            apply_eam_overrides(params, self.eam_tables)
+            self.eam_poly = fit_eam_poly(self.eam_tables)
         if x is None and params.input_file:
             from mdbench_tpu.io.readers import read_atom
 
@@ -187,6 +211,16 @@ class ClusterSimulation:
         self._ilist = (
             self._kmode in ("ilist", "ilist_pl") and not params.half_neigh
         )
+        if self.eam_tables is not None and not self._ilist:
+            raise ValueError(
+                "cluster-scheme EAM runs on the exact-list kernels only "
+                "(kernel=auto|ilist|ilist_pl)"
+            )
+        # bf16 derive prune (rigorous-superset lists; SP only — in DP
+        # the exact f32/f64 prune IS the parity semantics)
+        self._derive_bf16 = bool(
+            params.derive_bf16 and params.precision == "sp"
+        )
         # capacity buckets for the Pallas exact-list force (set by
         # _calibrate_list_cap once the nji distribution is known):
         # (sizes_in_units, caps) or None for the flat-capacity path
@@ -235,6 +269,16 @@ class ClusterSimulation:
             self._tables_static = tuple(
                 tuple(map(tuple, np.asarray(t, np.float64)))
                 for t in self.type_tables
+            )
+        if self.eam_tables is not None:
+            from mdbench_tpu.ops.eam import EamDevice
+
+            t = self.eam_tables
+            self.eam_dev = EamDevice(
+                rhor=jnp.asarray(t.rhor_spline, dtype),
+                frho=jnp.asarray(t.frho_spline, dtype),
+                z2r=jnp.asarray(t.z2r_spline, dtype),
+                rdr=t.rdr, rdrho=t.rdrho, nr=t.nr, nrho=t.nrho,
             )
         self.interpret = jax.devices()[0].platform == "cpu"
 
@@ -288,6 +332,7 @@ class ClusterSimulation:
             pairs = derive_ilists(
                 clusters, pairs, self.n_clusters_pad, GROUP,
                 p.cutneigh, self.icap, share=self.ishare,
+                bf16=self._derive_bf16,
             )
             if self.buckets is not None:
                 pairs = attach_bucket_maps(
@@ -329,14 +374,40 @@ class ClusterSimulation:
         v_flat = gath(state.vxc, state.vyc, state.vzc).at[self.nlocal].set(0.0)
         return x_flat, v_flat
 
-    def _force_from(self, clusters: Clusters, pairs: ClusterPairList):
+    def _force_from(self, clusters: Clusters, pairs: ClusterPairList,
+                    halo: ClusterHalo):
         with jax.named_scope("force"):  # LIKWID "force" region analogue
-            return self._force_from_inner(clusters, pairs)
+            return self._force_from_inner(clusters, pairs, halo)
 
-    def _force_from_inner(self, clusters: Clusters, pairs: ClusterPairList):
+    def _force_from_inner(self, clusters: Clusters, pairs: ClusterPairList,
+                          halo: ClusterHalo):
         p = self.params
         cutsq = p.cutforce**2
         typed = self.type_tables is not None
+        if self.eam_tables is not None:
+            assert not typed, "cluster EAM is single-type (funcfl)"
+            if self._kmode == "ilist_pl":
+                from mdbench_tpu.ops.pallas.eam_cluster import (
+                    eam_cluster_force_pallas,
+                )
+
+                fx, fy, fz, _fp = eam_cluster_force_pallas(
+                    clusters.xc, clusters.yc, clusters.zc, pairs.ijlist,
+                    halo.border_map, self.n_clusters_pad, cutsq,
+                    self.eam_dev, self.eam_poly, share=self.ishare,
+                    interpret=self.interpret,
+                )
+            else:
+                from mdbench_tpu.ops.eam_cluster import (
+                    eam_cluster_force_xla,
+                )
+
+                fx, fy, fz, _fp = eam_cluster_force_xla(
+                    clusters.xc, clusters.yc, clusters.zc, pairs.ijlist,
+                    halo.border_map, self.n_clusters_pad, cutsq,
+                    self.eam_dev, self.eam_poly, share=self.ishare,
+                )
+            return fx, fy, fz
         if p.half_neigh:
             # Newton half-pair axis (reference param.half_neigh,
             # clusterpair/force_lj.c:167-431): XLA kernel — the Newton
@@ -446,7 +517,7 @@ class ClusterSimulation:
         zc = cl.zc.at[: self.n_clusters_pad].add(dt * vzc)
         cl = cl._replace(xc=xc, yc=yc, zc=zc)
         cl = update_cluster_pbc(cl, state.halo, self.n_clusters_pad, False)
-        fxc, fyc, fzc = self._force_from(cl, state.pairs)
+        fxc, fyc, fzc = self._force_from(cl, state.pairs, state.halo)
         vxc = vxc + dtf * fxc
         vyc = vyc + dtf * fyc
         vzc = vzc + dtf * fzc
@@ -485,14 +556,14 @@ class ClusterSimulation:
             zc = zc.at[:npad].add(dt * vz)
             cl = cl0._replace(xc=xc, yc=yc, zc=zc)
             cl = update_cluster_pbc(cl, halo, npad, False)
-            fx, fy, fz = self._force_from(cl, pairs)
+            fx, fy, fz = self._force_from(cl, pairs, halo)
             # differential in-loop FORCE timing (cli --timers diff):
             # extra data-dependent passes, CSE-proof
             for _r in range(self._force_reps - 1):
                 cl2 = cl._replace(
                     xc=cl.xc.at[:npad].add(1e-30 * fx)
                 )
-                fx, fy, fz = self._force_from(cl2, pairs)
+                fx, fy, fz = self._force_from(cl2, pairs, halo)
             vx = vx + dtf * fx
             vy = vy + dtf * fy
             vz = vz + dtf * fz
@@ -529,7 +600,7 @@ class ClusterSimulation:
         clusters, (vxc, vyc, vzc), halo, pairs, ovf = (
             self._reneighbor_from_flat(x_flat, v_flat)
         )
-        fxc, fyc, fzc = self._force_from(clusters, pairs)
+        fxc, fyc, fzc = self._force_from(clusters, pairs, halo)
         vxc = vxc + dtf * fxc
         vyc = vyc + dtf * fyc
         vzc = vzc + dtf * fzc
@@ -614,7 +685,7 @@ class ClusterSimulation:
             if self._ilist:
                 pairs = derive_ilists(
                     cl, pairs, npad, GROUP, p.cutneigh, self.icap,
-                    share=self.ishare,
+                    share=self.ishare, bf16=self._derive_bf16,
                 )
                 if self.buckets is not None:
                     pairs = attach_bucket_maps(
@@ -627,7 +698,7 @@ class ClusterSimulation:
                 pairs.overflow[0], pairs.overflow[1], iovf,
             ])
 
-        fxc, fyc, fzc = self._force_from(cl, pairs)
+        fxc, fyc, fzc = self._force_from(cl, pairs, halo)
         vxc = vxc + dtf * fxc
         vyc = vyc + dtf * fyc
         vzc = vzc + dtf * fzc
@@ -657,7 +728,7 @@ class ClusterSimulation:
             clusters, (vxc, vyc, vzc), halo, pairs, ovf = (
                 self._reneighbor_from_flat(x_flat, v_flat)
             )
-            fxc, fyc, fzc = self._force_from(clusters, pairs)
+            fxc, fyc, fzc = self._force_from(clusters, pairs, halo)
             return CStepState(
                 clusters=clusters, vxc=vxc, vyc=vyc, vzc=vzc,
                 fxc=fxc, fyc=fyc, fzc=fzc, halo=halo, pairs=pairs,
@@ -679,7 +750,7 @@ class ClusterSimulation:
             pairs = derive_ilists(
                 state.clusters, state.pairs, self.n_clusters_pad,
                 GROUP, self.params.cutneigh, self.icap,
-                share=self.ishare,
+                share=self.ishare, bf16=self._derive_bf16,
             )
             if self.buckets is not None:
                 pairs = attach_bucket_maps(
@@ -806,6 +877,10 @@ class ClusterSimulation:
             return False
         if self._kmode != "ilist_pl" or self.type_tables is not None:
             return False
+        if self.eam_tables is not None:
+            # EAM's two-pass force reads the flat ijlist (no bucket
+            # variant yet); don't attach unused bucket maps
+            return False
         plan = plan_capacity_buckets(nji, self.icap, self.ishare)
         if plan is None:
             return False
@@ -900,7 +975,7 @@ class ClusterSimulation:
         def force_reps(st):
             def body(cl_x, _):
                 fx, fy, fz = self._force_from(
-                    st.clusters._replace(xc=cl_x), st.pairs
+                    st.clusters._replace(xc=cl_x), st.pairs, st.halo
                 )
                 return cl_x + 1e-30 * fx[0, 0], ()
             cl_x, _ = jax.lax.scan(

@@ -767,6 +767,7 @@ def derive_ilists(
     icap: int,
     chunk: int = 128,
     share: int = 1,
+    bf16: bool = False,
 ) -> ClusterPairList:
     """Exact per-i-unit j16 lists, derived from the group-shared lists
     by the exact minimum atom-atom distance check (the reference's
@@ -793,7 +794,18 @@ def derive_ilists(
     Kept entries preserve the group list's z-sorted order (compaction is
     a stable sort on the drop flag). Dropped/padding slots hold the
     sentinel j16 id, whose ~1e30 coordinates fail the cutoff in the
-    kernel naturally."""
+    kernel naturally.
+
+    bf16=True runs the exact check's dominant (chunk, i-atoms, Lk*16)
+    distance math in bfloat16 after centering both sides on each unit's
+    first atom (the centering bounds coordinate magnitudes to a few
+    length units, so the bf16 rounding error is ~0.01 instead of ~0.1
+    at raw box coordinates). The cutoff is inflated by a rigorous
+    worst-case error bound, so bf16 keeps a SUPERSET of the exact lists
+    — physics is untouched (the force kernel applies the exact f32
+    cutoff), only a ~boundary-shell of extra j16 entries survives.
+    Sentinel padding atoms are masked explicitly (their per-slot
+    displacement, build_clusters, is invisible at bf16 precision)."""
     assert group % share == 0
     gs_units = group // share
     ng, _, L = pairs.jlist.shape
@@ -847,21 +859,92 @@ def derive_ilists(
             xj = pl3[:, 0]
             yj = pl3[:, 1]
             zj = pl3[:, 2]
-            xi = xi_all[gsafe].reshape(chunk, gs_units, share * M, 1)
-            yi = yi_all[gsafe].reshape(chunk, gs_units, share * M, 1)
-            zi = zi_all[gsafe].reshape(chunk, gs_units, share * M, 1)
-            dx = xi - xj
-            dy = yi - yj
-            dz = zi - zj
-            rsq = dx * dx + dy * dy + dz * dz
-            mina = jnp.min(rsq, axis=2)  # over i-atoms -> (chunk, u, Lk*16)
-            mind = jnp.min(
-                mina.reshape(chunk, gs_units, Lk, 16), axis=3
-            )  # per-j16 minor-dim min -> (chunk, gs_units, Lk)
-            keep = (
-                (mind <= cutsq)
-                & (lpos[None, None, :] < nj_all[gsafe][:, None, None])
-            )
+            if bf16:
+                # centered bf16 distance math with a rigorous-superset
+                # inflated cutoff (see docstring). Centering on each
+                # unit's FIRST atom keeps magnitudes ~O(unit extent +
+                # cutneigh); sentinel atoms are pushed to +-BIG so
+                # padding can never alias to rsq=0 at bf16 precision.
+                S = SENTINEL_COORD * 0.5
+                BIG = 3.0e4
+                bft = jnp.bfloat16
+                xi3 = xi_all[gsafe].reshape(chunk, gs_units, share * M)
+                yi3 = yi_all[gsafe].reshape(chunk, gs_units, share * M)
+                zi3 = zi_all[gsafe].reshape(chunk, gs_units, share * M)
+
+                def cen_i(a3):
+                    c = a3[:, :, 0:1]
+                    real = jnp.abs(a3) < S
+                    ac = jnp.where(real, a3 - c, -BIG)
+                    # per-unit real-atom extent from the centering atom:
+                    # the dynamic input to the rounding-error bound
+                    ext = jnp.max(
+                        jnp.where(real, jnp.abs(a3 - c), 0.0), axis=2
+                    )
+                    return ac.astype(bft)[..., None], c, ext
+
+                def cen_j(ajp, c):
+                    aj = ajp.reshape(chunk, 1, Lk * 16)
+                    ac = jnp.where(jnp.abs(aj) < S, aj - c, BIG)
+                    return ac.astype(bft)[:, :, None, :]
+
+                xib, cx, bx = cen_i(xi3)
+                yib, cy, by = cen_i(yi3)
+                zib, cz, bz = cen_i(zi3)
+                dx = xib - cen_j(xj, cx)
+                dy = yib - cen_j(yj, cy)
+                dz = zib - cen_j(zj, cz)
+                rsq16 = dx * dx + dy * dy + dz * dz  # the big op, bf16
+                mina16 = jnp.min(rsq16, axis=2)
+                mind = jnp.min(
+                    mina16.reshape(chunk, gs_units, Lk, 16), axis=3
+                ).astype(xi3.dtype)
+                # worst-case bf16 error bound, per unit: a keep-boundary
+                # pair has |xi_c| <= B_i (the unit's real extent from
+                # its centering atom) and |xj_c| <= B_i + cutneigh per
+                # component; each value rounds to <= |v|*2^-9, so the
+                # per-component distance error is <= (2 B_i + cut)*2^-9
+                # and the Euclidean error is the component 2-norm; the
+                # square/sum chain adds <= ~3 ulp relative (2^-6 used)
+                eps9 = 2.0 ** -9
+                ex = (2.0 * bx + cutneigh) * eps9
+                ey = (2.0 * by + cutneigh) * eps9
+                ez = (2.0 * bz + cutneigh) * eps9
+                err_r = jnp.sqrt(ex * ex + ey * ey + ez * ez)
+                cut_eff = ((cutneigh + err_r) ** 2) * (1.0 + 2.0 ** -6)
+                keep = (
+                    (mind <= cut_eff[:, :, None])
+                    & (lpos[None, None, :] < nj_all[gsafe][:, None, None])
+                )
+            else:
+                # i-side sentinels flip sign (a select on the SMALL i
+                # planes): i-pad vs j-pad pairs land at |dx| ~ 2e30
+                # instead of aliasing to 0 when a ghost j16 carries an
+                # exact copy of its owner's padding coordinates (the
+                # box-period shift rounds away at sentinel magnitude,
+                # defeating the per-slot displacement)
+                S_half = SENTINEL_COORD * 0.5
+
+                def iplane(a_all):
+                    a = a_all[gsafe]
+                    a = jnp.where(jnp.abs(a) < S_half, a, -a)
+                    return a.reshape(chunk, gs_units, share * M, 1)
+
+                xi = iplane(xi_all)
+                yi = iplane(yi_all)
+                zi = iplane(zi_all)
+                dx = xi - xj
+                dy = yi - yj
+                dz = zi - zj
+                rsq = dx * dx + dy * dy + dz * dz
+                mina = jnp.min(rsq, axis=2)  # over i -> (chunk, u, Lk*16)
+                mind = jnp.min(
+                    mina.reshape(chunk, gs_units, Lk, 16), axis=3
+                )  # per-j16 minor-dim min -> (chunk, gs_units, Lk)
+                keep = (
+                    (mind <= cutsq)
+                    & (lpos[None, None, :] < nj_all[gsafe][:, None, None])
+                )
             nji = jnp.sum(keep, axis=2).astype(jnp.int32)
             # stable compaction: kept entries first, z order kept. A
             # bitonic sort on a single packed key (drop-flag * Lk +

@@ -1,0 +1,249 @@
+"""Pallas single-pass kernels for cluster-scheme EAM — the TPU fast
+path twin of ops/eam_cluster.eam_cluster_force_xla.
+
+Same dataflow as the LJ exact-list kernel (ops/pallas/lj_cluster.
+_kernel_ilist): per-step XLA row gathers repack the exact-list
+coordinate (+fp for pass 2) rows into dense planar (NIC/share, icap*16)
+tiles; each kernel streams them via BlockSpec with zero in-kernel
+dynamic slices and computes every pair tile once. The EAM pair
+functions are STATIC-coefficient Horner polynomials
+(models/eam_tables.fit_eam_poly) — compile-time constants, zero
+in-kernel table lookups. Between the passes, the per-atom frho spline
+and the ghost-fp refresh run as (cheap) XLA ops.
+
+The reference's clusterpair EAM is a dead stub (force_eam.c:20-37);
+the two-pass structure mirrors verletlist/force_eam.c:20-231.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mdbench_tpu.ops.eam import EamDevice, _grid_index
+from mdbench_tpu.ops.eam_cluster import _fp_ghost_refresh
+from mdbench_tpu.ops.pallas.lj_cluster import ILIST_UNIT, gather_ilist_rows
+
+
+def _horner_static(coefs, t):
+    acc = jnp.full_like(t, float(coefs[-1]))
+    for c in coefs[-2::-1]:
+        acc = acc * t + float(c)
+    return acc
+
+
+def _mapped_t(rsq, mask, mid, iscale):
+    r = jnp.sqrt(jnp.where(mask, rsq, 1.0))
+    return jnp.clip((r - mid) * iscale, -1.0, 1.0)
+
+
+def _fold128(p, nf):
+    out = p[:, 0:128]
+    for f in range(1, nf):
+        out = out + p[:, f * 128 : (f + 1) * 128]
+    return out
+
+
+def _kernel_eam_rho(
+    xj_ref, yj_ref, zj_ref, xi_ref, yi_ref, zi_ref, rho_ref, acc,
+    *, share: int, W: int, cutforcesq: float, dens_coefs,
+    mid: float, iscale: float,
+):
+    """Pass 1: per-atom embedding density. One (8, W) pair tile per
+    i-cluster; dens(r) via static Horner; lane-fold + ones-dot
+    contraction into a revolving (1, 8, 128) output block (the same
+    output scheme as the LJ force kernel, one component)."""
+    gb = ILIST_UNIT // share
+    nf = W // 128
+    for k in range(gb):
+        xj = xj_ref[k : k + 1, :]
+        yj = yj_ref[k : k + 1, :]
+        zj = zj_ref[k : k + 1, :]
+        for ic in range(share):
+            i = k * share + ic
+            xi = xi_ref[i, :].reshape(8, 1)
+            yi = yi_ref[i, :].reshape(8, 1)
+            zi = zi_ref[i, :].reshape(8, 1)
+            dx = xi - xj
+            dy = yi - yj
+            dz = zi - zj
+            rsq = dx * dx + dy * dy + dz * dz
+            mask = (rsq < cutforcesq) & (rsq > 0.0)
+            t = _mapped_t(rsq, mask, mid, iscale)
+            dens = jnp.where(mask, _horner_static(dens_coefs, t), 0.0)
+            acc[i * 8 : i * 8 + 8, :] = _fold128(dens, nf)
+    ones = jnp.ones((1, 128), acc.dtype)
+    dn = (((1,), (1,)), ((), ()))
+    row = pl.program_id(0) % 8
+    rho_ref[0, row, :] = jax.lax.dot_general(
+        ones, acc[:], dn, preferred_element_type=acc.dtype
+    )[0]
+
+
+def _kernel_eam_force(
+    xj_ref, yj_ref, zj_ref, fpj_ref, xi_ref, yi_ref, zi_ref, fpi_ref,
+    fx_ref, fy_ref, fz_ref, ax, ay, az,
+    *, share: int, W: int, cutforcesq: float, g1_coefs, g2_coefs,
+    mid: float, iscale: float,
+):
+    """Pass 2: pair forces fpair = -((fp_i + fp_j) g1(r) + g2(r));
+    distances, both Horner chains, and all three component
+    accumulations in one pass per tile."""
+    gb = ILIST_UNIT // share
+    nf = W // 128
+    for k in range(gb):
+        xj = xj_ref[k : k + 1, :]
+        yj = yj_ref[k : k + 1, :]
+        zj = zj_ref[k : k + 1, :]
+        fpj = fpj_ref[k : k + 1, :]
+        for ic in range(share):
+            i = k * share + ic
+            xi = xi_ref[i, :].reshape(8, 1)
+            yi = yi_ref[i, :].reshape(8, 1)
+            zi = zi_ref[i, :].reshape(8, 1)
+            fpi = fpi_ref[i, :].reshape(8, 1)
+            dx = xi - xj
+            dy = yi - yj
+            dz = zi - zj
+            rsq = dx * dx + dy * dy + dz * dz
+            mask = (rsq < cutforcesq) & (rsq > 0.0)
+            t = _mapped_t(rsq, mask, mid, iscale)
+            fpair = jnp.where(
+                mask,
+                -((fpi + fpj) * _horner_static(g1_coefs, t)
+                  + _horner_static(g2_coefs, t)),
+                0.0,
+            )
+            r0 = i * 8
+            ax[r0 : r0 + 8, :] = _fold128(dx * fpair, nf)
+            ay[r0 : r0 + 8, :] = _fold128(dy * fpair, nf)
+            az[r0 : r0 + 8, :] = _fold128(dz * fpair, nf)
+    ones = jnp.ones((1, 128), ax.dtype)
+    dn = (((1,), (1,)), ((), ()))
+    row = pl.program_id(0) % 8
+    fx_ref[0, row, :] = jax.lax.dot_general(
+        ones, ax[:], dn, preferred_element_type=ax.dtype
+    )[0]
+    fy_ref[0, row, :] = jax.lax.dot_general(
+        ones, ay[:], dn, preferred_element_type=ay.dtype
+    )[0]
+    fz_ref[0, row, :] = jax.lax.dot_general(
+        ones, az[:], dn, preferred_element_type=az.dtype
+    )[0]
+
+
+def eam_cluster_force_pallas(
+    xc, yc, zc,  # (C_total, 8) coordinate planes
+    ijlist,  # (NIC/share, icap) int32 — exact per-i-unit j16 ids
+    border_map,  # (gcap16,) cluster halo owner map
+    n_clusters_pad: int,
+    cutforcesq: float,
+    eam: EamDevice,
+    poly,  # models.eam_tables.EamPoly
+    share: int = 2,
+    interpret: bool = False,
+    fp_exchange=None,
+):
+    """Two pallas_calls around the XLA frho + ghost-fp middle section.
+    Returns (fx, fy, fz, fp_plane) — same contract as the XLA twin,
+    including the fp_exchange override for multi-chip fp refresh."""
+    nu, icap = ijlist.shape
+    assert nu * share == n_clusters_pad
+    assert ILIST_UNIT % share == 0
+    W = icap * 16
+    assert W % 128 == 0, "icap must be a multiple of 8"
+    nb = n_clusters_pad // ILIST_UNIT
+    assert nb % 8 == 0
+    gb = ILIST_UNIT // share
+    dtype = xc.dtype
+
+    xi_planes = (xc[:n_clusters_pad], yc[:n_clusters_pad],
+                 zc[:n_clusters_pad])
+    xj_block = pl.BlockSpec((gb, W), lambda b: (b, 0), memory_space=pltpu.VMEM)
+    xi_block = pl.BlockSpec(
+        (ILIST_UNIT, 8), lambda b: (b, 0), memory_space=pltpu.VMEM
+    )
+    out_block = pl.BlockSpec(
+        (1, 8, 128), lambda b: (b // 8, 0, 0), memory_space=pltpu.VMEM
+    )
+    common = dict(
+        share=share, W=W, cutforcesq=float(cutforcesq),
+        mid=float(poly.mid), iscale=float(poly.iscale),
+    )
+
+    # ---- pass 1: density ------------------------------------------------
+    rows48 = gather_ilist_rows(xc, yc, zc, ijlist)
+    xjp = rows48[:, :, 0:16].reshape(nu, W)
+    yjp = rows48[:, :, 16:32].reshape(nu, W)
+    zjp = rows48[:, :, 32:48].reshape(nu, W)
+    kern1 = functools.partial(
+        _kernel_eam_rho,
+        dens_coefs=tuple(float(c) for c in poly.dens), **common,
+    )
+    rho = pl.pallas_call(
+        kern1,
+        grid=(nb,),
+        in_specs=[xj_block] * 3 + [xi_block] * 3,
+        out_specs=[out_block],
+        out_shape=[jax.ShapeDtypeStruct((nb // 8, 8, 128), dtype)],
+        scratch_shapes=[pltpu.VMEM((128, 128), dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(xjp, yjp, zjp, *xi_planes)[0].reshape(n_clusters_pad, 8)
+
+    # ---- frho spline + ghost fp (XLA; per-atom, cheap) -------------------
+    mf, pf = _grid_index(rho, eam.rdrho, eam.nrho)
+    fs = eam.frho[mf]
+    fp_local = (fs[..., 0] * pf + fs[..., 1]) * pf + fs[..., 2]
+    fp_plane = jnp.zeros((xc.shape[0], 8), dtype)
+    fp_plane = fp_plane.at[:n_clusters_pad].set(fp_local)
+    if fp_exchange is None:
+        fp_plane = _fp_ghost_refresh(fp_plane, border_map, n_clusters_pad)
+    else:
+        fp_plane = fp_exchange(fp_plane)
+
+    # ---- pass 2: forces ([x|y|z|fp] 64-wide row gather) ------------------
+    cjn = xc.shape[0] // 2
+    packed64 = jnp.concatenate(
+        [xc.reshape(cjn, 16), yc.reshape(cjn, 16), zc.reshape(cjn, 16),
+         fp_plane.reshape(cjn, 16)],
+        axis=1,
+    )
+    rows64 = packed64[ijlist.reshape(-1)].reshape(nu, icap, 64)
+    xjp = rows64[:, :, 0:16].reshape(nu, W)
+    yjp = rows64[:, :, 16:32].reshape(nu, W)
+    zjp = rows64[:, :, 32:48].reshape(nu, W)
+    fpj = rows64[:, :, 48:64].reshape(nu, W)
+    kern2 = functools.partial(
+        _kernel_eam_force,
+        g1_coefs=tuple(float(c) for c in poly.g1),
+        g2_coefs=tuple(float(c) for c in poly.g2), **common,
+    )
+    out = pl.pallas_call(
+        kern2,
+        grid=(nb,),
+        in_specs=[xj_block] * 4 + [xi_block] * 4,
+        out_specs=[out_block] * 3,
+        out_shape=[
+            jax.ShapeDtypeStruct((nb // 8, 8, 128), dtype)
+            for _ in range(3)
+        ],
+        scratch_shapes=[pltpu.VMEM((128, 128), dtype) for _ in range(3)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(xjp, yjp, zjp, fpj, *xi_planes, fp_local)
+    fx, fy, fz = out
+    return (
+        fx.reshape(n_clusters_pad, 8),
+        fy.reshape(n_clusters_pad, 8),
+        fz.reshape(n_clusters_pad, 8),
+        fp_plane,
+    )

@@ -76,10 +76,27 @@ class ClusterDomainSimulation:
     def __init__(self, params: Params, ndev: int,
                  x: Optional[np.ndarray] = None,
                  v: Optional[np.ndarray] = None):
-        assert params.force_field == 0, (
-            "cluster scheme is LJ (reference clusterpair EAM is a stub)"
-        )
         self.params = params
+        # EAM over the mesh: same exact-ilist two-pass force as the
+        # single-chip cluster engine (ops/eam_cluster), with the
+        # mid-force fp refresh extended by an x-border ppermute (the
+        # cross-chip force_eam.c:117-120). Overrides land BEFORE the
+        # slab geometry and lattice are derived.
+        self.eam_tables = None
+        self.eam_dev = None
+        self.eam_poly = None
+        if params.force_field != 0:  # FF_EAM
+            from mdbench_tpu.models.eam_tables import (
+                apply_eam_overrides,
+                fit_eam_poly,
+                load_eam,
+            )
+
+            if not params.eam_file:
+                raise ValueError("force_field=eam requires eam_file")
+            self.eam_tables = load_eam(params.eam_file)
+            apply_eam_overrides(params, self.eam_tables)
+            self.eam_poly = fit_eam_poly(self.eam_tables)
         self.ndev = ndev
         self.slab_w = params.xprd / ndev
         c = params.cutneigh
@@ -136,6 +153,22 @@ class ClusterDomainSimulation:
         self.nrows_cl = (
             self.ncl_pad + self.gcap_rows + 4 * self.xcap16 + 2
         )
+        if self.eam_tables is not None:
+            if not self._ilist:
+                raise ValueError(
+                    "cluster-domain EAM runs on the exact-list kernels "
+                    "only (kernel=auto|ilist|ilist_pl)"
+                )
+            from mdbench_tpu.ops.eam import EamDevice
+
+            t = self.eam_tables
+            dtype = params.dtype
+            self.eam_dev = EamDevice(
+                rhor=jnp.asarray(t.rhor_spline, dtype),
+                frho=jnp.asarray(t.frho_spline, dtype),
+                z2r=jnp.asarray(t.z2r_spline, dtype),
+                rdr=t.rdr, rdrho=t.rdrho, nr=t.nr, nrho=t.nrho,
+            )
         self.mesh = Mesh(np.array(jax.devices()[:ndev]), (AXIS,))
         self._xv_init = (x, v)
         self._init_host_state(x, v)
@@ -372,10 +405,68 @@ class ClusterDomainSimulation:
         v_flat = gath(vxc, vyc, vzc)[: self.acap]
         return x_flat, v_flat
 
-    def _force_dev(self, clusters, pairs):
+    def _force_dev(self, clusters, pairs, halo, maps):
         p = self.params
         cutsq = p.cutforce**2
         on_cpu = self.interpret
+        if self.eam_dev is not None:
+            nd = self.ndev
+
+            def fp_exchange(fp_plane):
+                # local y/z ghost fp from owners, then x-border fp over
+                # the mesh — same row maps and write layout as the
+                # coordinate exchange (_exchange_rows), no shift (fp is
+                # translation invariant). Mirrors force_eam.c:117-120
+                # across chips.
+                from mdbench_tpu.ops.eam_cluster import _fp_ghost_refresh
+
+                fp_plane = _fp_ghost_refresh(
+                    fp_plane, halo.border_map, self.ncl_pad
+                )
+                map_l, map_r = maps
+                rm_l = (2 * map_l[:, None]
+                        + jnp.arange(2, dtype=jnp.int32)[None, :]
+                        ).reshape(-1)
+                rm_r = (2 * map_r[:, None]
+                        + jnp.arange(2, dtype=jnp.int32)[None, :]
+                        ).reshape(-1)
+                send_l = fp_plane[rm_l]
+                send_r = fp_plane[rm_r]
+                perm_r = [(i, (i + 1) % nd) for i in range(nd)]
+                perm_l = [(i, (i - 1) % nd) for i in range(nd)]
+                from_right = jax.lax.ppermute(send_l, AXIS, perm_l)
+                from_left = jax.lax.ppermute(send_r, AXIS, perm_r)
+                g0 = self.ncl_pad + self.gcap_rows
+                nxr = 2 * self.xcap16
+                fp_plane = fp_plane.at[g0 : g0 + nxr].set(from_left)
+                fp_plane = fp_plane.at[g0 + nxr : g0 + 2 * nxr].set(
+                    from_right
+                )
+                return fp_plane
+
+            if on_cpu:
+                from mdbench_tpu.ops.eam_cluster import (
+                    eam_cluster_force_xla,
+                )
+
+                fx, fy, fz, _fp = eam_cluster_force_xla(
+                    clusters.xc, clusters.yc, clusters.zc, pairs.ijlist,
+                    halo.border_map, self.ncl_pad, cutsq, self.eam_dev,
+                    self.eam_poly, share=self.ishare,
+                    fp_exchange=fp_exchange,
+                )
+            else:
+                from mdbench_tpu.ops.pallas.eam_cluster import (
+                    eam_cluster_force_pallas,
+                )
+
+                fx, fy, fz, _fp = eam_cluster_force_pallas(
+                    clusters.xc, clusters.yc, clusters.zc, pairs.ijlist,
+                    halo.border_map, self.ncl_pad, cutsq, self.eam_dev,
+                    self.eam_poly, share=self.ishare,
+                    fp_exchange=fp_exchange,
+                )
+            return fx, fy, fz
         if self._ilist:
             # exact-list kernels (the measured single-chip fast path);
             # XLA twin on CPU, single-pass Pallas on TPU
@@ -431,7 +522,7 @@ class ClusterDomainSimulation:
                 cl = cl._replace(xc=xc, yc=yc, zc=zc)
                 cl = update_cluster_pbc(cl, halo, self.ncl_pad, False)
                 cl = self._exchange_rows(cl, maps[0], maps[1], False)
-                fxc, fyc, fzc = self._force_dev(cl, pairs)
+                fxc, fyc, fzc = self._force_dev(cl, pairs, halo, maps)
                 vxc = vxc + dtf * fxc
                 vyc = vyc + dtf * fyc
                 vzc = vzc + dtf * fzc
@@ -454,7 +545,7 @@ class ClusterDomainSimulation:
                 cl, (vxc, vyc, vzc), halo, maps, pairs, nloc, ovf2 = (
                     self._reneighbor_dev(x_flat, v_flat, nloc)
                 )
-                fxc, fyc, fzc = self._force_dev(cl, pairs)
+                fxc, fyc, fzc = self._force_dev(cl, pairs, halo, maps)
                 vxc = vxc + dtf * fxc
                 vyc = vyc + dtf * fyc
                 vzc = vzc + dtf * fzc
@@ -474,7 +565,7 @@ class ClusterDomainSimulation:
             cl, (vxc, vyc, vzc), halo, maps, pairs, nloc, ovf0 = (
                 self._reneighbor_dev(x, v, nloc)
             )
-            fxc, fyc, fzc = self._force_dev(cl, pairs)
+            fxc, fyc, fzc = self._force_dev(cl, pairs, halo, maps)
             carry = (
                 cl, vxc, vyc, vzc, fxc, fyc, fzc, nloc, halo, maps,
                 pairs, jnp.any(ovf0),

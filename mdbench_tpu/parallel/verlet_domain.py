@@ -124,6 +124,7 @@ class DomainSimulation:
                  v: Optional[np.ndarray] = None):
         self.params = params
         self.eam_dev = None
+        self.eam_poly = None
         if params.force_field != 0:  # FF_EAM
             # EAM overrides params BEFORE lattice generation (main.c:38)
             from mdbench_tpu.models.eam_tables import (
@@ -145,6 +146,19 @@ class DomainSimulation:
                 z2r=_jnp.asarray(t.z2r_spline, dtype),
                 rdr=t.rdr, rdrho=t.rdrho, nr=t.nr, nrho=t.nrho,
             )
+            # gather-free pair-evaluation fast axis (engine.Simulation's
+            # eam_eval semantics; the fp_exchange closure is orthogonal
+            # to the evaluation method)
+            self.eam_poly = None
+            use_poly = params.eam_eval == "poly" or (
+                params.eam_eval == "auto"
+                and params.precision == "sp"
+                and jax.default_backend() == "tpu"
+            )
+            if use_poly:
+                from mdbench_tpu.models.eam_tables import fit_eam_poly
+
+                self.eam_poly = fit_eam_poly(t)
         self.ndev = ndev
         self.slab_w = params.xprd / ndev
         assert self.slab_w >= params.cutneigh, (
@@ -479,6 +493,15 @@ class DomainSimulation:
             fp = fp.at[g0 + bcap : g0 + 2 * bcap].set(from_right)
             return fp
 
+        if self.eam_poly is not None:
+            from mdbench_tpu.ops.eam import compute_force_eam_poly
+
+            f, _fp = compute_force_eam_poly(
+                x, nlist.neighbors, nlist.numneigh, halo.border_map,
+                acap, acap, p.cutforce**2, self.eam_dev, self.eam_poly,
+                fp_exchange=fp_exchange,
+            )
+            return f
         f, _fp = compute_force_eam(
             x, nlist.neighbors, nlist.numneigh, halo.border_map,
             acap, acap, p.cutforce**2, self.eam_dev,

@@ -118,6 +118,29 @@ def test_domain_engine_eam_matches_single_device():
     np.testing.assert_allclose(out_d.temps, out_s.temps, rtol=1e-8)
 
 
+def test_domain_engine_eam_poly_matches_single_device():
+    """The gather-free polynomial EAM axis (eam_eval=poly) composes
+    with the domain engine's mid-force fp ppermute: parity vs the
+    single-chip poly path."""
+    from mdbench_tpu.config import FF_EAM
+    from mdbench_tpu.engine import Simulation
+    from mdbench_tpu.parallel.verlet_domain import DomainSimulation
+
+    ndev = 2
+    if len(jax.devices()) < ndev:
+        pytest.skip("not enough devices")
+    mk = lambda: Params(
+        nx=6, ny=6, nz=6, ntimes=10, reneigh_every=5,
+        force_field=FF_EAM, eam_file="/root/reference/data/Cu_u3.eam",
+        eam_eval="poly",
+    )
+    out_s = Simulation(mk()).run()
+    dom = DomainSimulation(mk(), ndev=ndev)
+    assert dom.eam_poly is not None
+    out_d = dom.run()
+    np.testing.assert_allclose(out_d.temps, out_s.temps, rtol=1e-8)
+
+
 def test_cluster_domain_matches_single_device():
     """Cluster scheme over the device mesh (parallel/cluster_domain):
     trajectory parity vs the single-chip cluster engine across rebuild

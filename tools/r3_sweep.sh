@@ -12,6 +12,9 @@ run 600 python -u tools/r3_gab.py
 run 900 python -u tools/r3_verlet.py rowlist
 run 600 python -u bench.py
 run 900 python -u tools/r3_verlet.py eam eam_poly
+run 900 python -u tools/r3_eamc.py
 run 900 python -u tools/r3_bf16.py golden
+run 900 python -u tools/r3_derive16.py
 run 1200 python -u tools/r3_domain.py
+run 900 python -u tools/r3_scale.py
 echo "=== sweep done $(date)" | tee -a "$LOG"

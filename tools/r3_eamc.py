@@ -18,7 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from tools.tpu_microbench import timeit  # noqa: E402
 
 
-def run_variant(name, kernel):
+def run_variant(name, kernel, ishare=0):
     import jax
 
     from mdbench_tpu.config import FF_EAM, Params
@@ -27,7 +27,7 @@ def run_variant(name, kernel):
     p = Params(
         precision="sp", scheme="cluster", dense_thermo=False,
         force_field=FF_EAM, eam_file="/root/reference/data/Cu_u3.eam",
-        ntimes=60, kernel=kernel,
+        ntimes=60, kernel=kernel, ishare=ishare,
     )
     sim = ClusterSimulation(p)
     out = sim.run()
@@ -65,9 +65,16 @@ def run_variant(name, kernel):
 
 
 def main():
-    which = sys.argv[1:] or ["pallas", "xla"]
+    # share4: EAM pays the issue-bound row gather TWICE per step (48-wide
+    # coords + 64-wide [x|y|z|fp]), so wider list sharing (quarter the
+    # gather rows for ~+40% padded pairs) may win here even though
+    # share=2 won for LJ.
+    which = sys.argv[1:] or ["pallas", "xla", "share4"]
     for name in which:
-        run_variant(name, {"pallas": "ilist_pl", "xla": "ilist"}[name])
+        if name == "share4":
+            run_variant("share4", "ilist_pl", ishare=4)
+        else:
+            run_variant(name, {"pallas": "ilist_pl", "xla": "ilist"}[name])
 
 
 if __name__ == "__main__":

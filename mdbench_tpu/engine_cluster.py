@@ -391,11 +391,19 @@ class ClusterSimulation:
                     eam_cluster_force_pallas,
                 )
 
+                bucketed = (
+                    self.buckets is not None and pairs.bijlist is not None
+                )
                 fx, fy, fz, _fp = eam_cluster_force_pallas(
                     clusters.xc, clusters.yc, clusters.zc, pairs.ijlist,
                     halo.border_map, self.n_clusters_pad, cutsq,
                     self.eam_dev, self.eam_poly, share=self.ishare,
                     interpret=self.interpret,
+                    buckets=self.buckets if bucketed else None,
+                    bpairs=(
+                        (pairs.bijlist, pairs.bcrows, pairs.binv)
+                        if bucketed else None
+                    ),
                 )
             else:
                 from mdbench_tpu.ops.eam_cluster import (
@@ -876,10 +884,6 @@ class ClusterSimulation:
         if self.buckets is not None:
             return False
         if self._kmode != "ilist_pl" or self.type_tables is not None:
-            return False
-        if self.eam_tables is not None:
-            # EAM's two-pass force reads the flat ijlist (no bucket
-            # variant yet); don't attach unused bucket maps
             return False
         plan = plan_capacity_buckets(nji, self.icap, self.ishare)
         if plan is None:

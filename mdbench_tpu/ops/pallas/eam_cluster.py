@@ -26,7 +26,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from mdbench_tpu.ops.eam import EamDevice, _grid_index
 from mdbench_tpu.ops.eam_cluster import _fp_ghost_refresh
-from mdbench_tpu.ops.pallas.lj_cluster import ILIST_UNIT, gather_ilist_rows
+from mdbench_tpu.ops.pallas.lj_cluster import ILIST_UNIT
 
 
 def _horner_static(coefs, t):
@@ -136,6 +136,51 @@ def _kernel_eam_force(
     )[0]
 
 
+def _pass_call(kern, n_out, W, share, dtype, j_planes, i_planes,
+               n_outputs, interpret):
+    """One pallas_call of either pass: j_planes are planarized
+    (n_units, W) gathered rows, i_planes are (n_out, 8) cluster-row
+    planes. Returns n_outputs (n_out, 8) planes."""
+    assert W % 128 == 0
+    nb = n_out // ILIST_UNIT
+    assert nb % 8 == 0 and nb * ILIST_UNIT == n_out
+    gb = ILIST_UNIT // share
+    xj_block = pl.BlockSpec((gb, W), lambda b: (b, 0), memory_space=pltpu.VMEM)
+    xi_block = pl.BlockSpec(
+        (ILIST_UNIT, 8), lambda b: (b, 0), memory_space=pltpu.VMEM
+    )
+    out_block = pl.BlockSpec(
+        (1, 8, 128), lambda b: (b // 8, 0, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=[xj_block] * len(j_planes) + [xi_block] * len(i_planes),
+        out_specs=[out_block] * n_outputs,
+        out_shape=[
+            jax.ShapeDtypeStruct((nb // 8, 8, 128), dtype)
+            for _ in range(n_outputs)
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((128, 128), dtype) for _ in range(n_outputs)
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*j_planes, *i_planes)
+    return [o.reshape(n_out, 8) for o in out]
+
+
+def _planarize(rows, icap, parts):
+    nu = rows.shape[0]
+    W = icap * 16
+    return [
+        rows[:, :, 16 * p : 16 * (p + 1)].reshape(nu, W)
+        for p in range(parts)
+    ]
+
+
 def eam_cluster_force_pallas(
     xc, yc, zc,  # (C_total, 8) coordinate planes
     ijlist,  # (NIC/share, icap) int32 — exact per-i-unit j16 ids
@@ -147,55 +192,82 @@ def eam_cluster_force_pallas(
     share: int = 2,
     interpret: bool = False,
     fp_exchange=None,
+    buckets=None,  # (sizes, caps) + bpairs -> capacity-bucketed passes
+    bpairs=None,  # (bijlist, bcrows, binv) from attach_bucket_maps
 ):
-    """Two pallas_calls around the XLA frho + ghost-fp middle section.
-    Returns (fx, fy, fz, fp_plane) — same contract as the XLA twin,
-    including the fp_exchange override for multi-chip fp refresh."""
-    nu, icap = ijlist.shape
-    assert nu * share == n_clusters_pad
-    assert ILIST_UNIT % share == 0
-    W = icap * 16
-    assert W % 128 == 0, "icap must be a multiple of 8"
-    nb = n_clusters_pad // ILIST_UNIT
-    assert nb % 8 == 0
-    gb = ILIST_UNIT // share
-    dtype = xc.dtype
+    """Two (per-bucket) pallas_calls around the XLA frho + ghost-fp
+    middle section. Returns (fx, fy, fz, fp_plane) — same contract as
+    the XLA twin, including the fp_exchange override for multi-chip fp
+    refresh.
 
-    xi_planes = (xc[:n_clusters_pad], yc[:n_clusters_pad],
-                 zc[:n_clusters_pad])
-    xj_block = pl.BlockSpec((gb, W), lambda b: (b, 0), memory_space=pltpu.VMEM)
-    xi_block = pl.BlockSpec(
-        (ILIST_UNIT, 8), lambda b: (b, 0), memory_space=pltpu.VMEM
-    )
-    out_block = pl.BlockSpec(
-        (1, 8, 128), lambda b: (b // 8, 0, 0), memory_space=pltpu.VMEM
-    )
+    With buckets, both passes run nji-sorted units through
+    capacity-matched kernels (the LJ _force_buckets scheme) — for EAM
+    this double-dips: tighter caps cut BOTH the padded pair math AND
+    the per-step row gathers, which EAM pays twice (48-wide coords,
+    then 64-wide [x|y|z|fp])."""
+    nu, icap = ijlist.shape
+    assert ILIST_UNIT % share == 0
+    dtype = xc.dtype
+    cjn = xc.shape[0] // 2
     common = dict(
-        share=share, W=W, cutforcesq=float(cutforcesq),
+        share=share, cutforcesq=float(cutforcesq),
         mid=float(poly.mid), iscale=float(poly.iscale),
     )
+    dens_coefs = tuple(float(c) for c in poly.dens)
+    g1_coefs = tuple(float(c) for c in poly.g1)
+    g2_coefs = tuple(float(c) for c in poly.g2)
+
+    if buckets is not None:
+        assert bpairs is not None
+        sizes, caps = buckets
+        bijlist, bcrows, binv = bpairs
+        xiP = (xc[bcrows], yc[bcrows], zc[bcrows])
+    else:
+        assert nu * share == n_clusters_pad
+        sizes, caps = (nu,), (icap,)
+        bijlist, binv = ijlist, None
+        xiP = (xc[:n_clusters_pad], yc[:n_clusters_pad],
+               zc[:n_clusters_pad])
+
+    def run_pass(packed, parts, kern_fn, coef_kwargs, i_extra, n_outputs):
+        """parts=3 coords (pass 1) or 4 incl fp (pass 2); i_extra maps
+        a (rows, 8) plane to per-bucket i-side rows (fp_i for pass 2)."""
+        outs = None
+        off = 0
+        for n_k, c_k in zip(sizes, caps):
+            W = c_k * 16
+            n_out = n_k * share
+            r0, r1 = off * share, (off + n_k) * share
+            ijl = bijlist[off : off + n_k, :c_k]
+            rows = packed[ijl.reshape(-1)].reshape(n_k, c_k, 16 * parts)
+            j_planes = _planarize(rows, c_k, parts)
+            i_planes = [p[r0:r1] for p in xiP]
+            if i_extra is not None:
+                i_planes.append(i_extra[r0:r1])
+            kern = functools.partial(
+                kern_fn, W=W, **coef_kwargs, **common
+            )
+            res = _pass_call(
+                kern, n_out, W, share, dtype, j_planes, i_planes,
+                n_outputs, interpret,
+            )
+            outs = res if outs is None else [
+                jnp.concatenate([a, b], axis=0) for a, b in zip(outs, res)
+            ]
+            off += n_k
+        if binv is not None:
+            outs = [o[binv] for o in outs]
+        return outs
 
     # ---- pass 1: density ------------------------------------------------
-    rows48 = gather_ilist_rows(xc, yc, zc, ijlist)
-    xjp = rows48[:, :, 0:16].reshape(nu, W)
-    yjp = rows48[:, :, 16:32].reshape(nu, W)
-    zjp = rows48[:, :, 32:48].reshape(nu, W)
-    kern1 = functools.partial(
-        _kernel_eam_rho,
-        dens_coefs=tuple(float(c) for c in poly.dens), **common,
+    packed48 = jnp.concatenate(
+        [xc.reshape(cjn, 16), yc.reshape(cjn, 16), zc.reshape(cjn, 16)],
+        axis=1,
     )
-    rho = pl.pallas_call(
-        kern1,
-        grid=(nb,),
-        in_specs=[xj_block] * 3 + [xi_block] * 3,
-        out_specs=[out_block],
-        out_shape=[jax.ShapeDtypeStruct((nb // 8, 8, 128), dtype)],
-        scratch_shapes=[pltpu.VMEM((128, 128), dtype)],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-        interpret=interpret,
-    )(xjp, yjp, zjp, *xi_planes)[0].reshape(n_clusters_pad, 8)
+    (rho,) = run_pass(
+        packed48, 3, _kernel_eam_rho, dict(dens_coefs=dens_coefs),
+        None, 1,
+    )
 
     # ---- frho spline + ghost fp (XLA; per-atom, cheap) -------------------
     mf, pf = _grid_index(rho, eam.rdrho, eam.nrho)
@@ -209,41 +281,12 @@ def eam_cluster_force_pallas(
         fp_plane = fp_exchange(fp_plane)
 
     # ---- pass 2: forces ([x|y|z|fp] 64-wide row gather) ------------------
-    cjn = xc.shape[0] // 2
     packed64 = jnp.concatenate(
-        [xc.reshape(cjn, 16), yc.reshape(cjn, 16), zc.reshape(cjn, 16),
-         fp_plane.reshape(cjn, 16)],
-        axis=1,
+        [packed48, fp_plane.reshape(cjn, 16)], axis=1
     )
-    rows64 = packed64[ijlist.reshape(-1)].reshape(nu, icap, 64)
-    xjp = rows64[:, :, 0:16].reshape(nu, W)
-    yjp = rows64[:, :, 16:32].reshape(nu, W)
-    zjp = rows64[:, :, 32:48].reshape(nu, W)
-    fpj = rows64[:, :, 48:64].reshape(nu, W)
-    kern2 = functools.partial(
-        _kernel_eam_force,
-        g1_coefs=tuple(float(c) for c in poly.g1),
-        g2_coefs=tuple(float(c) for c in poly.g2), **common,
+    fpiP = fp_plane[bcrows] if buckets is not None else fp_local
+    fx, fy, fz = run_pass(
+        packed64, 4, _kernel_eam_force,
+        dict(g1_coefs=g1_coefs, g2_coefs=g2_coefs), fpiP, 3,
     )
-    out = pl.pallas_call(
-        kern2,
-        grid=(nb,),
-        in_specs=[xj_block] * 4 + [xi_block] * 4,
-        out_specs=[out_block] * 3,
-        out_shape=[
-            jax.ShapeDtypeStruct((nb // 8, 8, 128), dtype)
-            for _ in range(3)
-        ],
-        scratch_shapes=[pltpu.VMEM((128, 128), dtype) for _ in range(3)],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-        interpret=interpret,
-    )(xjp, yjp, zjp, fpj, *xi_planes, fp_local)
-    fx, fy, fz = out
-    return (
-        fx.reshape(n_clusters_pad, 8),
-        fy.reshape(n_clusters_pad, 8),
-        fz.reshape(n_clusters_pad, 8),
-        fp_plane,
-    )
+    return fx, fy, fz, fp_plane

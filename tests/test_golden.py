@@ -90,6 +90,26 @@ def test_eam_trajectory_matches_c_reference():
         assert out.press[step - 1] == pytest.approx(p_gold, rel=5e-6)
 
 
+def test_eam_cluster_scheme_matches_c_reference():
+    """Cluster-scheme EAM (poly pair evaluation — an axis the reference
+    left as a dead stub) against the C verlet-scheme golden trace: the
+    ~1e-6 polynomial fit residual plus cluster-order summation noise
+    grows at the Lyapunov rate, so the tolerance is looser than the
+    spline path's 5e-6 but still binds the trajectory to the
+    reference's physics."""
+    from mdbench_tpu.engine_cluster import ClusterSimulation
+
+    p = Params(
+        nx=6, ny=6, nz=6, ntimes=50, force_field=FF_EAM,
+        eam_file="/root/reference/data/Cu_u3.eam", kernel="ilist",
+    )
+    out = ClusterSimulation(p).run()
+    for step, (t_gold, _) in GOLDEN_EAM.items():
+        if step == 0:
+            continue
+        assert out.temps[step - 1] == pytest.approx(t_gold, rel=2e-3)
+
+
 # EAM Cu_u6 variant (second funcfl file in reference data/), 6x6x6,
 # 50 steps; generated with the same binary + `-e data/Cu_u6.eam`
 GOLDEN_EAM_U6 = {

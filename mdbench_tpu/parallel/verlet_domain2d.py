@@ -53,7 +53,7 @@ from mdbench_tpu.ops.verlet import (
     derive_rowlists_from_cells,
 )
 from mdbench_tpu.state import SENTINEL_COORD
-from mdbench_tpu.thermo import adjust_thermo, setup_thermo
+from mdbench_tpu.thermo import adjust_thermo, adjusted_dtforce, setup_thermo
 
 AX, AY = "dx", "dy"
 
@@ -71,8 +71,39 @@ class Domain2DSimulation:
     def __init__(self, params: Params, px: int, py: int,
                  x: Optional[np.ndarray] = None,
                  v: Optional[np.ndarray] = None):
-        assert params.force_field == 0, "domain engine is LJ-only for now"
         self.params = params
+        # EAM over the pencil mesh: planar two-pass force with the fp
+        # ghost refresh staged exactly like the coordinate refresh
+        # (local z, then x ppermute, then y ppermute carrying x-ghost
+        # corners) — the 2-D analogue of force_eam.c:117-120.
+        self.eam_dev = None
+        self.eam_poly = None
+        if params.force_field != 0:  # FF_EAM
+            from mdbench_tpu.models.eam_tables import (
+                apply_eam_overrides,
+                fit_eam_poly,
+                load_eam,
+            )
+            from mdbench_tpu.ops.eam import EamDevice
+
+            if not params.eam_file:
+                raise ValueError("force_field=eam requires eam_file")
+            t = load_eam(params.eam_file)
+            apply_eam_overrides(params, t)
+            dtype = params.dtype
+            self.eam_dev = EamDevice(
+                rhor=jnp.asarray(t.rhor_spline, dtype),
+                frho=jnp.asarray(t.frho_spline, dtype),
+                z2r=jnp.asarray(t.z2r_spline, dtype),
+                rdr=t.rdr, rdrho=t.rdrho, nr=t.nr, nrho=t.nrho,
+            )
+            use_poly = params.eam_eval == "poly" or (
+                params.eam_eval == "auto"
+                and params.precision == "sp"
+                and jax.default_backend() == "tpu"
+            )
+            if use_poly:
+                self.eam_poly = fit_eam_poly(t)
         self.px, self.py = px, py
         self.wx = params.xprd / px
         self.wy = params.yprd / py
@@ -84,6 +115,7 @@ class Domain2DSimulation:
             x, v, _ = create_fcc_lattice(params)
         self.natoms = x.shape[0]
         self.scales = setup_thermo(params, self.natoms)
+        self.dtforce = adjusted_dtforce(params, self.scales)
         v = adjust_thermo(params, self.scales, v, self.natoms)
 
         per_dev = self.natoms / (px * py)
@@ -101,9 +133,12 @@ class Domain2DSimulation:
         self.maxneighs = max(
             params.maxneighs, int(math.ceil(vol * params.rho * 1.3 / 8)) * 8
         )
-        # per-device rowlist fast path (same scheme as verlet_domain)
-        self._rowlist = params.kernel == "rowlist" or (
-            params.kernel == "auto" and jax.default_backend() == "tpu"
+        # per-device rowlist fast path (same scheme as verlet_domain);
+        # EAM stays planar
+        self._rowlist = self.eam_dev is None and (
+            params.kernel == "rowlist"
+            or (params.kernel == "auto"
+                and jax.default_backend() == "tpu")
         )
         self._rl_backend = (
             "pallas"
@@ -384,7 +419,7 @@ class Domain2DSimulation:
 
     def _make_run_fn(self, ntimes: int):
         p = self.params
-        dt, dtf = p.dt, p.dtforce
+        dt, dtf = p.dt, self.dtforce
         every = p.reneigh_every
         n_int = max(ntimes // every, 1)
         mass, scales = p.mass, self.scales
@@ -410,7 +445,59 @@ class Domain2DSimulation:
                 )
                 return x, v
 
-            def force(x, nlist):
+            def force(x, nlist, halo, bxl, bxr, byd, byu):
+                if self.eam_dev is not None:
+                    def fp_exchange(fp):
+                        # staged fp refresh mirrors _refresh_ghosts:
+                        # local z gather, then x/y ppermutes (no shift —
+                        # fp is translation invariant)
+                        fp = fp.at[acap : acap + self.gcap].set(
+                            fp[halo.border_map]
+                        )
+                        fr = jax.lax.ppermute(
+                            fp[bxl], AX, self._perm(self.px, -1)
+                        )
+                        fl = jax.lax.ppermute(
+                            fp[bxr], AX, self._perm(self.px, +1)
+                        )
+                        g0 = acap + self.gcap
+                        fp = fp.at[g0 : g0 + self.bxcap].set(fl)
+                        fp = fp.at[
+                            g0 + self.bxcap : g0 + 2 * self.bxcap
+                        ].set(fr)
+                        fu = jax.lax.ppermute(
+                            fp[byd], AY, self._perm(self.py, -1)
+                        )
+                        fd = jax.lax.ppermute(
+                            fp[byu], AY, self._perm(self.py, +1)
+                        )
+                        g1 = g0 + 2 * self.bxcap
+                        fp = fp.at[g1 : g1 + self.bycap].set(fd)
+                        fp = fp.at[
+                            g1 + self.bycap : g1 + 2 * self.bycap
+                        ].set(fu)
+                        return fp
+
+                    from mdbench_tpu.ops.eam import (
+                        compute_force_eam,
+                        compute_force_eam_poly,
+                    )
+
+                    if self.eam_poly is not None:
+                        f, _fp = compute_force_eam_poly(
+                            x, nlist.neighbors, nlist.numneigh,
+                            halo.border_map, acap, acap,
+                            p.cutforce**2, self.eam_dev, self.eam_poly,
+                            fp_exchange=fp_exchange,
+                        )
+                    else:
+                        f, _fp = compute_force_eam(
+                            x, nlist.neighbors, nlist.numneigh,
+                            halo.border_map, acap, acap,
+                            p.cutforce**2, self.eam_dev,
+                            fp_exchange=fp_exchange,
+                        )
+                    return f
                 if self._rowlist:
                     return compute_force_lj_rowlist(
                         x, nlist.neighbors, acap, p.cutforce**2,
@@ -426,7 +513,7 @@ class Domain2DSimulation:
                 x, v, f, nloc, halo, bxl, bxr, byd, byu, nlist, ovf = carry
                 x, v = integrate1(x, v, f, nloc)
                 x = self._refresh_ghosts(x, halo, bxl, bxr, byd, byu)
-                f = force(x, nlist)
+                f = force(x, nlist, halo, bxl, bxr, byd, byu)
                 live = (rows < nloc)[:, None]
                 v = jnp.where(live, v + dtf * f, v)
                 t = thermo(v, nloc)
@@ -440,7 +527,7 @@ class Domain2DSimulation:
                 x, v, nloc, halo, bxl, bxr, byd, byu, nlist, ovf2 = (
                     self._reneighbor_dev(x, v, nloc)
                 )
-                f = force(x, nlist)
+                f = force(x, nlist, halo, bxl, bxr, byd, byu)
                 live = (rows < nloc)[:, None]
                 v = jnp.where(live, v + dtf * f, v)
                 t = thermo(v, nloc)
@@ -459,7 +546,7 @@ class Domain2DSimulation:
             x, v, nloc, halo, bxl, bxr, byd, byu, nlist, ovf = (
                 self._reneighbor_dev(x, v, nloc)
             )
-            f = force(x, nlist)
+            f = force(x, nlist, halo, bxl, bxr, byd, byu)
             carry = (x, v, f, nloc, halo, bxl, bxr, byd, byu, nlist, ovf)
             carry, temps = jax.lax.scan(interval, carry, None, length=n_int)
             nloc, ovf = carry[3], carry[10]

@@ -57,8 +57,39 @@ class Domain3DSimulation:
     def __init__(self, params: Params, px: int, py: int, pz: int,
                  x: Optional[np.ndarray] = None,
                  v: Optional[np.ndarray] = None):
-        assert params.force_field == 0, "3-D domain engine is LJ-only"
         self.params = params
+        # EAM over the brick mesh: the fp ghost refresh is three staged
+        # ppermute hops with the same face maps as the coordinate
+        # refresh (no local halo here — the box is fully periodic over
+        # the mesh axes). 3-D analogue of force_eam.c:117-120.
+        self.eam_dev = None
+        self.eam_poly = None
+        if params.force_field != 0:  # FF_EAM
+            from mdbench_tpu.models.eam_tables import (
+                apply_eam_overrides,
+                fit_eam_poly,
+                load_eam,
+            )
+            from mdbench_tpu.ops.eam import EamDevice
+
+            if not params.eam_file:
+                raise ValueError("force_field=eam requires eam_file")
+            t = load_eam(params.eam_file)
+            apply_eam_overrides(params, t)
+            dtype = params.dtype
+            self.eam_dev = EamDevice(
+                rhor=jnp.asarray(t.rhor_spline, dtype),
+                frho=jnp.asarray(t.frho_spline, dtype),
+                z2r=jnp.asarray(t.z2r_spline, dtype),
+                rdr=t.rdr, rdrho=t.rdrho, nr=t.nr, nrho=t.nrho,
+            )
+            use_poly = params.eam_eval == "poly" or (
+                params.eam_eval == "auto"
+                and params.precision == "sp"
+                and jax.default_backend() == "tpu"
+            )
+            if use_poly:
+                self.eam_poly = fit_eam_poly(t)
         self.pdims = (px, py, pz)
         prd = (params.xprd, params.yprd, params.zprd)
         self.w = tuple(prd[d] / self.pdims[d] for d in range(3))
@@ -91,9 +122,12 @@ class Domain3DSimulation:
         self.maxneighs = max(
             params.maxneighs, int(math.ceil(vol * params.rho * 1.3 / 8)) * 8
         )
-        # per-device rowlist fast path (same scheme as verlet_domain)
-        self._rowlist = params.kernel == "rowlist" or (
-            params.kernel == "auto" and jax.default_backend() == "tpu"
+        # per-device rowlist fast path (same scheme as verlet_domain);
+        # EAM stays planar
+        self._rowlist = self.eam_dev is None and (
+            params.kernel == "rowlist"
+            or (params.kernel == "auto"
+                and jax.default_backend() == "tpu")
         )
         self._rl_backend = (
             "pallas"
@@ -335,7 +369,46 @@ class Domain3DSimulation:
                 )
                 return x, v
 
-            def force(x, nlist):
+            def force(x, nlist, maps):
+                if self.eam_dev is not None:
+                    def fp_exchange(fp):
+                        # three staged hops with the coordinate maps
+                        # (no shift: fp is translation invariant)
+                        for d in range(3):
+                            ml, mr = maps[d]
+                            nd = self.pdims[d]
+                            fr = jax.lax.ppermute(
+                                fp[ml], AXES[d], self._perm(nd, -1)
+                            )
+                            fl = jax.lax.ppermute(
+                                fp[mr], AXES[d], self._perm(nd, +1)
+                            )
+                            g0 = self._stage_base(d)
+                            cap = self.bcap[d]
+                            fp = fp.at[g0 : g0 + cap].set(fl)
+                            fp = fp.at[g0 + cap : g0 + 2 * cap].set(fr)
+                        return fp
+
+                    from mdbench_tpu.ops.eam import (
+                        compute_force_eam,
+                        compute_force_eam_poly,
+                    )
+
+                    dummy_bm = maps[0][0]  # unused: fp_exchange given
+                    if self.eam_poly is not None:
+                        f, _fp = compute_force_eam_poly(
+                            x, nlist.neighbors, nlist.numneigh,
+                            dummy_bm, acap, acap, p.cutforce**2,
+                            self.eam_dev, self.eam_poly,
+                            fp_exchange=fp_exchange,
+                        )
+                    else:
+                        f, _fp = compute_force_eam(
+                            x, nlist.neighbors, nlist.numneigh,
+                            dummy_bm, acap, acap, p.cutforce**2,
+                            self.eam_dev, fp_exchange=fp_exchange,
+                        )
+                    return f
                 if self._rowlist:
                     return compute_force_lj_rowlist(
                         x, nlist.neighbors, acap, p.cutforce**2,
@@ -351,7 +424,7 @@ class Domain3DSimulation:
                 x, v, f, nloc, maps, nlist, ovf = carry
                 x, v = integrate1(x, v, f, nloc)
                 x = self._refresh_ghosts(x, maps)
-                f = force(x, nlist)
+                f = force(x, nlist, maps)
                 live = (rows < nloc)[:, None]
                 v = jnp.where(live, v + dtf * f, v)
                 t = thermo(v, nloc)
@@ -363,7 +436,7 @@ class Domain3DSimulation:
                 x, v, nloc, maps, nlist, ovf2 = (
                     self._reneighbor_dev(x, v, nloc)
                 )
-                f = force(x, nlist)
+                f = force(x, nlist, maps)
                 live = (rows < nloc)[:, None]
                 v = jnp.where(live, v + dtf * f, v)
                 t = thermo(v, nloc)
@@ -379,7 +452,7 @@ class Domain3DSimulation:
                 return carry, jnp.concatenate([ts, t_last[None]])
 
             x, v, nloc, maps, nlist, ovf0 = self._reneighbor_dev(x, v, nloc)
-            f = force(x, nlist)
+            f = force(x, nlist, maps)
             carry = (x, v, f, nloc, maps, nlist, jnp.any(ovf0))
             carry, temps = jax.lax.scan(interval, carry, None, length=n_int)
             return (

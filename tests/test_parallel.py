@@ -246,6 +246,48 @@ def test_domain2d_matches_single_device(px, py):
                                atol=1e-12)
 
 
+def test_domain2d_eam_matches_single_device():
+    """EAM over the 2-D pencil mesh: the fp ghost refresh stages like
+    the coordinate refresh (local z, x ppermute, y ppermute covering
+    corners). Trajectory parity vs the single-chip EAM engine."""
+    from mdbench_tpu.config import FF_EAM
+    from mdbench_tpu.engine import Simulation
+    from mdbench_tpu.parallel.verlet_domain2d import Domain2DSimulation
+
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough devices")
+    mk = lambda: Params(
+        nx=8, ny=8, nz=4, ntimes=10, reneigh_every=5,
+        force_field=FF_EAM, eam_file="/root/reference/data/Cu_u3.eam",
+    )
+    dom = Domain2DSimulation(mk(), px=2, py=2)
+    out = dom.run()
+    assert int(out.nlocal.sum()) == dom.natoms
+    out_s = Simulation(mk()).run()
+    np.testing.assert_allclose(out.temps, out_s.temps, rtol=1e-8)
+
+
+def test_domain3d_eam_matches_single_device():
+    """EAM over the 3-D brick mesh: the fp refresh is three staged
+    ppermute hops with the coordinate face maps. Trajectory parity vs
+    the single-chip EAM engine on a 2x2x2 virtual mesh."""
+    from mdbench_tpu.config import FF_EAM
+    from mdbench_tpu.engine import Simulation
+    from mdbench_tpu.parallel.verlet_domain3d import Domain3DSimulation
+
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough devices")
+    mk = lambda: Params(
+        nx=4, ny=4, nz=4, ntimes=10, reneigh_every=5,
+        force_field=FF_EAM, eam_file="/root/reference/data/Cu_u3.eam",
+    )
+    dom = Domain3DSimulation(mk(), 2, 2, 2)
+    out = dom.run()
+    assert int(out.nlocal.sum()) == dom.natoms
+    out_s = Simulation(mk()).run()
+    np.testing.assert_allclose(out.temps, out_s.temps, rtol=1e-8)
+
+
 @pytest.mark.parametrize("pdims", [(2, 2, 2), (2, 2, 1), (1, 1, 2)])
 def test_domain3d_matches_single_device(pdims):
     """3-D brick decomposition: staged 3-axis migration + halo exchange.

@@ -75,6 +75,7 @@ def run_stub(
     precision: str = "sp",
     force_field: str = "lj",
     eam_file: str | None = None,
+    eam_eval: str = "spline",
 ) -> dict:
     import jax
     import jax.numpy as jnp
@@ -116,12 +117,27 @@ def run_stub(
         cutsq = float(t.cut) ** 2
         bmap = jnp.zeros((0,), jnp.int32)
 
-        def force(x):
-            f, _fp = compute_force_eam(
-                x, neigh, numneigh, bmap, natoms, nlocal_pad,
-                cutsq, eam_dev,
-            )
-            return f
+        if eam_eval == "poly":
+            # gather-free pair evaluation axis: kernel-isolated
+            # spline-vs-poly measurement (--eam-eval poly)
+            from mdbench_tpu.models.eam_tables import fit_eam_poly
+            from mdbench_tpu.ops.eam import compute_force_eam_poly
+
+            poly = fit_eam_poly(t)
+
+            def force(x):
+                f, _fp = compute_force_eam_poly(
+                    x, neigh, numneigh, bmap, natoms, nlocal_pad,
+                    cutsq, eam_dev, poly,
+                )
+                return f
+        else:
+            def force(x):
+                f, _fp = compute_force_eam(
+                    x, neigh, numneigh, bmap, natoms, nlocal_pad,
+                    cutsq, eam_dev,
+                )
+                return f
 
     elif half:
 
@@ -360,6 +376,8 @@ def main(argv=None) -> int:
             kw["csv"] = True
         elif a == "--precision":
             kw["precision"] = nxt()
+        elif a == "--eam-eval":
+            kw["eam_eval"] = nxt()
         i += 1
     if scheme == "cluster":
         kw.pop("half", None)  # half lists: verlet-stub axis only
@@ -367,6 +385,7 @@ def main(argv=None) -> int:
         # (clusterpair/force_eam.c:20-37) — same here
         kw.pop("force_field", None)
         kw.pop("eam_file", None)
+        kw.pop("eam_eval", None)
         run_cluster_stub(**kw)
     else:
         run_stub(**kw)

@@ -17,6 +17,25 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tools.tpu_microbench import timeit  # noqa: E402
 
+# DP golden temperature trace for THIS workload, from running the
+# compiled C reference (oracle, no code copied):
+#   cd /tmp/mdb && echo "nstat 10" > nstat10.conf
+#   ./MDBench-VL-GCC-X86-DP -p nstat10.conf -f eam -e data/Cu_u3.eam -n 60
+# (C reference wall time: 12.86 s = 0.61 M updates/s on the host CPU)
+GOLDEN_EAM_131K = {20: 5.008906e02, 40: 2.747772e02, 60: 1.330268e02}
+GOLDEN_TOL = {20: 2e-3, 40: 1e-2, 60: 3e-2}  # SP + poly-fit drift
+
+
+def check_golden(name, temps):
+    ok = True
+    for step, t_gold in GOLDEN_EAM_131K.items():
+        rel = abs(float(temps[step - 1]) - t_gold) / t_gold
+        if rel > GOLDEN_TOL[step]:
+            print("%-10s GOLDEN FAIL step %d: %.6e vs %.6e (rel %.2e)"
+                  % (name, step, float(temps[step - 1]), t_gold, rel))
+            ok = False
+    print("%-10s golden gate: %s" % (name, "PASS" if ok else "FAIL"))
+
 
 def run_variant(name, kernel, ishare=0):
     import jax
@@ -42,6 +61,7 @@ def run_variant(name, kernel, ishare=0):
         % (name, float(out.temps[re - 1]), sim.icap, sim.list_cap,
            sim.ishare)
     )
+    check_golden(name, out.temps)
 
     st = sim.initial_state()
     jax.block_until_ready(st)

@@ -41,6 +41,10 @@ def run_variant(name, overrides, probe_phases=True):
         "%-10s temp[re-bound]=%.6e  maxneighs=%d rcap=%d"
         % (name, float(out.temps[re - 1]), sim.caps.maxneighs, sim.rcap)
     )
+    if name.startswith("eam"):
+        from tools.r3_eamc import check_golden
+
+        check_golden(name, out.temps)
 
     if not probe_phases:
         return

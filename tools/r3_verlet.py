@@ -45,6 +45,14 @@ def run_variant(name, overrides, probe_phases=True):
         from tools.r3_eamc import check_golden
 
         check_golden(name, out.temps)
+    elif p.ntimes == 200:  # the default 131k LJ workload
+        import bench
+
+        try:
+            bench.check_golden(out.temps, p.reneigh_every)
+            print("%-10s golden gate: PASS" % name)
+        except SystemExit as e:
+            print("%-10s golden gate: FAIL (%s)" % (name, e))
 
     if not probe_phases:
         return

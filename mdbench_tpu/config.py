@@ -161,6 +161,10 @@ class Params:
     def finalize(self) -> "Params":
         """Recompute derived fields (reference: main.c:233, setup() main.c:42-45,
         readParameter tail parameter.c:115-121)."""
+        if self.eam_eval not in ("auto", "spline", "poly"):
+            raise ValueError(
+                f"eam_eval must be auto|spline|poly, got {self.eam_eval!r}"
+            )
         self.cutneigh = self.cutforce + self.skin
         self.dtforce = 0.5 * self.dt
         s2 = self.sigma * self.sigma

@@ -251,24 +251,13 @@ class Simulation:
         self.prd = np.array([p.xprd, p.yprd, p.zprd])
 
         if self.eam_tables is not None:
-            from mdbench_tpu.ops.eam import EamDevice
+            from mdbench_tpu.ops.eam import EamDevice, use_poly_eval
 
             t = self.eam_tables
-            self.eam_dev = EamDevice(
-                rhor=jnp.asarray(t.rhor_spline, dtype),
-                frho=jnp.asarray(t.frho_spline, dtype),
-                z2r=jnp.asarray(t.z2r_spline, dtype),
-                rdr=t.rdr, rdrho=t.rdrho, nr=t.nr, nrho=t.nrho,
-            )
+            self.eam_dev = EamDevice.from_tables(t, dtype)
             # gather-free per-pair fast axis (eam_eval="poly"; "auto" =
             # poly on TPU SP runs — the spline stays the DP parity axis)
-            use_poly = p.eam_eval == "poly" or (
-                p.eam_eval == "auto"
-                and p.precision == "sp"
-                and jax.default_backend() == "tpu"
-            )
-            self.eam_poly = None
-            if use_poly:
+            if use_poly_eval(p):
                 from mdbench_tpu.models.eam_tables import fit_eam_poly
 
                 self.eam_poly = fit_eam_poly(t)

@@ -125,6 +125,12 @@ class ClusterSimulation:
                 raise ValueError(
                     "cluster-scheme EAM supports full neighbor lists only"
                 )
+            if params.eam_eval == "spline":
+                raise ValueError(
+                    "cluster-scheme EAM is polynomial-evaluation only "
+                    "(eam_eval=auto|poly); the spline parity axis runs "
+                    "on the verlet scheme"
+                )
             self.eam_tables = load_eam(params.eam_file)
             apply_eam_overrides(params, self.eam_tables)
             self.eam_poly = fit_eam_poly(self.eam_tables)
@@ -273,13 +279,7 @@ class ClusterSimulation:
         if self.eam_tables is not None:
             from mdbench_tpu.ops.eam import EamDevice
 
-            t = self.eam_tables
-            self.eam_dev = EamDevice(
-                rhor=jnp.asarray(t.rhor_spline, dtype),
-                frho=jnp.asarray(t.frho_spline, dtype),
-                z2r=jnp.asarray(t.z2r_spline, dtype),
-                rdr=t.rdr, rdrho=t.rdrho, nr=t.nr, nrho=t.nrho,
-            )
+            self.eam_dev = EamDevice.from_tables(self.eam_tables, dtype)
         self.interpret = jax.devices()[0].platform == "cpu"
 
     # -- device phases ----------------------------------------------------

@@ -899,19 +899,22 @@ def derive_ilists(
                 mind = jnp.min(
                     mina16.reshape(chunk, gs_units, Lk, 16), axis=3
                 ).astype(xi3.dtype)
-                # worst-case bf16 error bound, per unit: a keep-boundary
-                # pair has |xi_c| <= B_i (the unit's real extent from
-                # its centering atom) and |xj_c| <= B_i + cutneigh per
-                # component; each value rounds to <= |v|*2^-9, so the
-                # per-component distance error is <= (2 B_i + cut)*2^-9
-                # and the Euclidean error is the component 2-norm; the
-                # square/sum chain adds <= ~3 ulp relative (2^-6 used)
-                eps9 = 2.0 ** -9
-                ex = (2.0 * bx + cutneigh) * eps9
-                ey = (2.0 * by + cutneigh) * eps9
-                ez = (2.0 * bz + cutneigh) * eps9
+                # worst-case bf16 error bound, per unit: bfloat16 keeps
+                # 8 significand bits, so round-to-nearest errs <=
+                # |v|*2^-8. A keep-boundary pair has |xi_c| <= B_i (the
+                # unit's real extent from its centering atom),
+                # |xj_c| <= B_i + cutneigh, and |dx| <= cutneigh per
+                # component; the two input roundings plus the bf16
+                # subtraction's own rounding give a per-component
+                # distance error <= (2 B_i + 2 cut)*2^-8, combined as
+                # the component 2-norm; the square/sum chain adds <=
+                # ~3 roundings relative (2^-5 used, generous)
+                eps8 = 2.0 ** -8
+                ex = (2.0 * bx + 2.0 * cutneigh) * eps8
+                ey = (2.0 * by + 2.0 * cutneigh) * eps8
+                ez = (2.0 * bz + 2.0 * cutneigh) * eps8
                 err_r = jnp.sqrt(ex * ex + ey * ey + ez * ez)
-                cut_eff = ((cutneigh + err_r) ** 2) * (1.0 + 2.0 ** -6)
+                cut_eff = ((cutneigh + err_r) ** 2) * (1.0 + 2.0 ** -5)
                 keep = (
                     (mind <= cut_eff[:, :, None])
                     & (lpos[None, None, :] < nj_all[gsafe][:, None, None])

@@ -36,9 +36,34 @@ class EamDevice(NamedTuple):
     nr: int
     nrho: int
 
+    @classmethod
+    def from_tables(cls, t, dtype) -> "EamDevice":
+        """Device-resident splines from host EamTables (the one
+        construction every engine shares)."""
+        return cls(
+            rhor=jnp.asarray(t.rhor_spline, dtype),
+            frho=jnp.asarray(t.frho_spline, dtype),
+            z2r=jnp.asarray(t.z2r_spline, dtype),
+            rdr=t.rdr, rdrho=t.rdrho, nr=t.nr, nrho=t.nrho,
+        )
+
     @property
     def rz_packed(self) -> jnp.ndarray:  # (nr+1, 14) [rhor | z2r]
         return jnp.concatenate([self.rhor, self.z2r], axis=1)
+
+
+def use_poly_eval(params) -> bool:
+    """Resolve the eam_eval axis: "poly" forces the gather-free
+    polynomial pair evaluation, "spline" forces the reference-exact
+    gathered splines, "auto" = poly on TPU SP runs (the fast axis),
+    spline otherwise (the parity axis)."""
+    import jax
+
+    return params.eam_eval == "poly" or (
+        params.eam_eval == "auto"
+        and params.precision == "sp"
+        and jax.default_backend() == "tpu"
+    )
 
 
 def _grid_index(r_or_rho, rd, n):

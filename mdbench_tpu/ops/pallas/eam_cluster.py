@@ -25,15 +25,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mdbench_tpu.ops.eam import EamDevice, _grid_index
+from mdbench_tpu.ops.eam import _horner as _horner_static
 from mdbench_tpu.ops.eam_cluster import _fp_ghost_refresh
 from mdbench_tpu.ops.pallas.lj_cluster import ILIST_UNIT
-
-
-def _horner_static(coefs, t):
-    acc = jnp.full_like(t, float(coefs[-1]))
-    for c in coefs[-2::-1]:
-        acc = acc * t + float(c)
-    return acc
 
 
 def _mapped_t(rsq, mask, mid, iscale):

@@ -131,7 +131,7 @@ class DomainSimulation:
                 apply_eam_overrides,
                 load_eam,
             )
-            from mdbench_tpu.ops.eam import EamDevice
+            from mdbench_tpu.ops.eam import EamDevice, use_poly_eval
 
             if not params.eam_file:
                 raise ValueError("force_field=eam requires eam_file")
@@ -140,22 +140,10 @@ class DomainSimulation:
             dtype = params.dtype
             import jax.numpy as _jnp
 
-            self.eam_dev = EamDevice(
-                rhor=_jnp.asarray(t.rhor_spline, dtype),
-                frho=_jnp.asarray(t.frho_spline, dtype),
-                z2r=_jnp.asarray(t.z2r_spline, dtype),
-                rdr=t.rdr, rdrho=t.rdrho, nr=t.nr, nrho=t.nrho,
-            )
-            # gather-free pair-evaluation fast axis (engine.Simulation's
-            # eam_eval semantics; the fp_exchange closure is orthogonal
-            # to the evaluation method)
-            self.eam_poly = None
-            use_poly = params.eam_eval == "poly" or (
-                params.eam_eval == "auto"
-                and params.precision == "sp"
-                and jax.default_backend() == "tpu"
-            )
-            if use_poly:
+            self.eam_dev = EamDevice.from_tables(t, dtype)
+            # gather-free pair-evaluation fast axis (the fp_exchange
+            # closure is orthogonal to the evaluation method)
+            if use_poly_eval(params):
                 from mdbench_tpu.models.eam_tables import fit_eam_poly
 
                 self.eam_poly = fit_eam_poly(t)

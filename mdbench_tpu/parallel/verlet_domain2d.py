@@ -84,25 +84,14 @@ class Domain2DSimulation:
                 fit_eam_poly,
                 load_eam,
             )
-            from mdbench_tpu.ops.eam import EamDevice
+            from mdbench_tpu.ops.eam import EamDevice, use_poly_eval
 
             if not params.eam_file:
                 raise ValueError("force_field=eam requires eam_file")
             t = load_eam(params.eam_file)
             apply_eam_overrides(params, t)
-            dtype = params.dtype
-            self.eam_dev = EamDevice(
-                rhor=jnp.asarray(t.rhor_spline, dtype),
-                frho=jnp.asarray(t.frho_spline, dtype),
-                z2r=jnp.asarray(t.z2r_spline, dtype),
-                rdr=t.rdr, rdrho=t.rdrho, nr=t.nr, nrho=t.nrho,
-            )
-            use_poly = params.eam_eval == "poly" or (
-                params.eam_eval == "auto"
-                and params.precision == "sp"
-                and jax.default_backend() == "tpu"
-            )
-            if use_poly:
+            self.eam_dev = EamDevice.from_tables(t, params.dtype)
+            if use_poly_eval(params):
                 self.eam_poly = fit_eam_poly(t)
         self.px, self.py = px, py
         self.wx = params.xprd / px

@@ -43,7 +43,10 @@ def test_bf16_lists_superset_of_exact(heated):
         exact = set(jl_f32[u][jl_f32[u] != sentinel].tolist())
         loose = set(jl_b16[u][jl_b16[u] != sentinel].tolist())
         assert exact <= loose, f"unit {u} dropped exact entries"
-        assert sentinel not in loose or True
+        # sentinel masking: kept (non-sentinel) entries match the count
+        # — a padding j16 surviving the bf16 keep would inflate nji
+        # beyond the compacted non-sentinel prefix
+        assert len(loose) == nji_b16[u], (u, len(loose), nji_b16[u])
         excess += len(loose) - len(exact)
     total = int((jl_f32 != sentinel).sum())
     # the inflated cutoff keeps only a boundary shell of extras

@@ -55,7 +55,7 @@ def run_variant(name, overrides):
 
     # force error vs the XLA exact-list oracle
     fx, fy, fz = jax.jit(
-        lambda c, pr: sim._force_from(c, pr)
+        lambda c, pr: sim._force_from(c, pr, st.halo)
     )(st.clusters, st.pairs)
     ox, oy, oz = jax.jit(
         lambda c, pr: lj_cluster_force_xla_ilist(

@@ -70,7 +70,9 @@ def main():
 
         # force only (includes gather+planarize+kernel)
         def f_force(xc, yc, zc):
-            return sim._force_from(cl._replace(xc=xc, yc=yc, zc=zc), pairs)
+            return sim._force_from(
+                cl._replace(xc=xc, yc=yc, zc=zc), pairs, st.halo
+            )
 
         print("  force total        : %.3f ms" % (timeit(f_force, *args) * 1e3))
 

@@ -8,13 +8,15 @@ run() {
   echo "=== $* — $(date)" | tee -a "$LOG"
   timeout "$1" "${@:2}" 2>&1 | grep -v "WARNING:.*axon" | tee -a "$LOG"
 }
-run 600 python -u tools/r3_gab.py
-run 900 python -u tools/r3_verlet.py rowlist
+# value-ordered: if the tunnel dies mid-sweep, the headline snapshot
+# and the biggest adoption decisions land first
 run 600 python -u bench.py
-run 900 python -u tools/r3_verlet.py eam eam_poly
-run 900 python -u tools/r3_eamc.py
 run 900 python -u tools/r3_bf16.py golden
+run 600 python -u tools/r3_gab.py
 run 900 python -u tools/r3_derive16.py
+run 900 python -u tools/r3_verlet.py rowlist
+run 900 python -u tools/r3_eamc.py
+run 900 python -u tools/r3_verlet.py eam eam_poly
 run 1200 python -u tools/r3_domain.py
 run 900 python -u tools/r3_scale.py
 echo "=== sweep done $(date)" | tee -a "$LOG"

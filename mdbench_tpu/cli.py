@@ -218,8 +218,9 @@ def main(argv=None) -> int:
             if writer is not None:
                 writer.write(xs, step, step * params.dt)
 
-        nchunks = max(params.ntimes // chunk, 1)
-        out = sim.run_chunked(chunk, nchunks, emit)
+        nchunks = params.ntimes // chunk
+        tail = params.ntimes - nchunks * chunk
+        out = sim.run_chunked(chunk, nchunks, emit, tail=tail)
         if writer is not None:
             xtc_end(writer)
     elif tracing_on and params.scheme != "cluster":
@@ -230,8 +231,9 @@ def main(argv=None) -> int:
                 dump_traces(state, step)
 
         chunk = params.reneigh_every
-        out = sim.run_chunked(chunk, max(params.ntimes // chunk, 1),
-                              emit_traces)
+        nchunks = params.ntimes // chunk
+        out = sim.run_chunked(chunk, nchunks, emit_traces,
+                              tail=params.ntimes - nchunks * chunk)
     elif params.profile_dir:
         from mdbench_tpu.tracing import profile
 
@@ -267,7 +269,13 @@ def main(argv=None) -> int:
         sim2 = Engine(params)
         sim2._force_reps = 2
         out2 = sim2.run()
-        t_force = max(out2.total_time - out.total_time, 0.0) / params.ntimes
+        # the extra chained force pass runs only in PLAIN steps (the
+        # reneighbor step keeps a single pass), so the delta divides by
+        # the plain-step count, not ntimes
+        n_plain = params.ntimes - params.ntimes // params.reneigh_every
+        t_force = (
+            max(out2.total_time - out.total_time, 0.0) / max(n_plain, 1)
+        )
         p3 = dataclasses.replace(
             params, reneigh_every=max(params.reneigh_every // 2, 1)
         )

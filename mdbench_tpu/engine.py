@@ -636,22 +636,60 @@ class Simulation:
             )
         self._build_device_state()
 
-    def run_chunked(self, chunk: int, nchunks: int, callback):
+    def run_chunked(self, chunk: int, nchunks: int, callback,
+                    max_retries: int = 3, tail: int = 0):
         """Run in host-visible chunks for trajectory output: the fused
         scan covers `chunk` steps per call; `callback(state, step)` runs
         on host between chunks (the reference writes VTK/XTC inside its
         loop, main.c:282-284 — here output cadence must divide into
-        chunks, e.g. chunk = x_out_every)."""
-        state = self.initial_state()
-        jax.block_until_ready(state)
+        chunks, e.g. chunk = x_out_every).
+
+        Same capacity protocol as run(): rcap calibration before the
+        timed region, and overflow-flag checks (a truncated neighbor
+        row must grow-and-retry, never write a silently-wrong
+        trajectory)."""
+        for _ in range(max_retries + 1):
+            state = self.initial_state()
+            jax.block_until_ready(state)
+            if bool(np.any(np.asarray(state.overflow))):
+                self._grow_caps()
+                continue
+            if self._calibrate_rcap(state):
+                state = self.initial_state()
+                jax.block_until_ready(state)
+            break
+        else:
+            raise RuntimeError("capacity overflow persisted after retries")
         callback(state, 0)
-        run_fn = self._make_run_fn(chunk)
-        compiled = run_fn.lower(state, jnp.zeros((0,))).compile()
+        compiled = (
+            self._make_run_fn(chunk).lower(state, jnp.zeros((0,)))
+            .compile()
+            if nchunks > 0 else None
+        )
         temps_all, press_all = [], []
         t0 = time.perf_counter()
         for c in range(nchunks):
             state, (temps, press) = compiled(state, jnp.zeros((0,)))
+            if bool(np.any(np.asarray(state.overflow))):
+                raise RuntimeError(
+                    f"capacity overflow during chunk {c} — rerun with "
+                    "grown capacities (run() recovers automatically; "
+                    "chunked output cannot resume mid-trajectory)"
+                )
             callback(state, (c + 1) * chunk)
+            temps_all.append(np.asarray(temps))
+            press_all.append(np.asarray(press))
+        if tail:
+            # remainder steps so nchunks*chunk + tail == ntimes exactly
+            # (the reference loop runs precisely -n steps)
+            compiled_t = (
+                self._make_run_fn(tail).lower(state, jnp.zeros((0,)))
+                .compile()
+            )
+            state, (temps, press) = compiled_t(state, jnp.zeros((0,)))
+            if bool(np.any(np.asarray(state.overflow))):
+                raise RuntimeError("capacity overflow in the tail chunk")
+            callback(state, nchunks * chunk + tail)
             temps_all.append(np.asarray(temps))
             press_all.append(np.asarray(press))
         _fence = float(jnp.sum(state.v[0]))

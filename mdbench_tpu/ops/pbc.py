@@ -89,7 +89,7 @@ def setup_pbc(
     # candidates first — by ghost cell id when sort_grid is given
     # (spatially compact ghost rows for the rowlist force path), else
     # by flat candidate index (exactly the old atom-major order).
-    # Ties resolve by the index payload, so the sort is deterministic.
+    # Ties resolve by the index SECOND KEY, so the sort is deterministic.
     n26 = nlocal * 26
     idx = jnp.arange(n26, dtype=jnp.int32)
     if sort_grid is not None:
@@ -103,7 +103,10 @@ def setup_pbc(
         rank = idx
     big = jnp.int32(2**31 - 1)
     key = jnp.where(flat_valid, rank, big)
-    _skey, sidx = jax.lax.sort((key, idx), num_keys=1, is_stable=False)
+    # two sort keys (rank, idx): equal-rank candidates order by index,
+    # which MAKES the claimed determinism true — num_keys=1 with an
+    # unstable sort leaves tie order unspecified across XLA versions
+    _skey, sidx = jax.lax.sort((key, idx), num_keys=2, is_stable=False)
     slot_key = _skey[:ghost_capacity]
     slot_idx = sidx[:ghost_capacity]
     live = slot_key < big

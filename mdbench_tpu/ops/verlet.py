@@ -56,6 +56,10 @@ def build_neighbors(
     # Atom ids ride the same rows as exact small floats (nrows < 2^24).
     cap = cl.cells.shape[1]
     dtype = x.dtype
+    assert dtype != jnp.float32 or x.shape[0] < 2**24, (
+        "atom ids ride the packed rows as floats; above 2^24 rows f32 "
+        "cannot represent them exactly — use dp or the rowlist kernel"
+    )
     cflat = cl.cells.reshape(-1)
     xcell = x[cflat]  # (ncells*cap, 3)
     planes = [xcell[:, k].reshape(-1, cap) for k in range(3)]
@@ -218,7 +222,6 @@ def derive_rowlists_from_cells(
     sent16 = nrows // 16 - 1
     sentinel_row = nrows - 1
     ZW = 3  # z-run width: cells z-1..z+1 as one flat-id run read
-    UC = ucells
     _d0, d1, d2 = grid.dims
     dtype = x.dtype
 
@@ -295,7 +298,6 @@ def derive_rowlists_from_cells(
     # huge per-dim index span, but never more than a few distinct
     # cells). Compact the <= 16 cell ids to ucells slots; padding
     # slots repeat the first cell (harmless duplicates, deduped below).
-    ucells = UC
     bs = jnp.asarray(grid.binsize, dtype)
     b3 = jnp.floor(x[:nlocal_pad] / bs).astype(jnp.int32) + 1
     b3 = jnp.clip(b3, 0, jnp.asarray(grid.dims, jnp.int32) - 1)

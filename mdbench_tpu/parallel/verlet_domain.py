@@ -214,14 +214,14 @@ class DomainSimulation:
         16 for the XLA twin), 16-aligned ghost/border regions, and a
         16-row all-sentinel tail; the planar path keeps one sentinel
         row."""
+        from mdbench_tpu.parallel.common import align_acap, round16
+
         if self._rowlist:
-            align = 1024 if self._rl_backend == "pallas" else 16
-            self.acap = (self.acap + align - 1) // align * align
-            self.gcap = (self.gcap + 15) // 16 * 16
-            self.bcap = (self.bcap + 15) // 16 * 16
-            self.nrows = self.acap + self.gcap + 2 * self.bcap + 16
-        else:
-            self.nrows = self.acap + self.gcap + 2 * self.bcap + 1
+            self.acap = align_acap(True, self._rl_backend, self.acap)
+            self.gcap = round16(self.gcap)
+            self.bcap = round16(self.bcap)
+        tail = 16 if self._rowlist else 1
+        self.nrows = self.acap + self.gcap + 2 * self.bcap + tail
 
     def _init_host_state(self, x, v):
         p = self.params
@@ -393,23 +393,9 @@ class DomainSimulation:
         return x
 
     def _resort_dev(self, x, v, nloc):
-        """Traced-nloc spatial resort of the slab's locals by cell id
-        (sortAtom per device): migration appends arrivals at the END of
-        the local region, so without a resort the rowlist units decay
-        into spatially arbitrary 16-atom groups and their candidate
-        sets blow up. One packed-key sort; padding sorts last."""
-        acap = self.acap
-        xl = x[:acap]
-        bs, dims = self.grid.binsize, self.grid.dims
-        bx = jnp.clip((xl[:, 0] / bs[0]).astype(jnp.int32) + 1, 0, dims[0] - 1)
-        by = jnp.clip((xl[:, 1] / bs[1]).astype(jnp.int32) + 1, 0, dims[1] - 1)
-        bz = jnp.clip((xl[:, 2] / bs[2]).astype(jnp.int32) + 1, 0, dims[2] - 1)
-        flat = (bx * dims[1] + by) * dims[2] + bz
-        live = jnp.arange(acap, dtype=jnp.int32) < nloc
-        key = jnp.where(live, flat, jnp.int32(2**31 - 1))
-        rid = jnp.arange(acap, dtype=jnp.int32)
-        _k, perm = jax.lax.sort((key, rid), num_keys=1, is_stable=False)
-        return x.at[:acap].set(xl[perm]), v[perm]
+        from mdbench_tpu.parallel.common import resort_by_cell
+
+        return resort_by_cell(self.grid, x, v, nloc, self.acap)
 
     def _reneighbor_dev(self, x, v, nloc):
         x = self._wrap_yz(x, nloc)

@@ -153,36 +153,22 @@ class Domain2DSimulation:
         self._init_host_state(x, v)
 
     def _fix_row_layout(self):
+        from mdbench_tpu.parallel.common import align_acap, round16
+
         if self._rowlist:
-            align = 1024 if self._rl_backend == "pallas" else 16
-            self.acap = (self.acap + align - 1) // align * align
-            self.gcap = (self.gcap + 15) // 16 * 16
-            self.bxcap = (self.bxcap + 15) // 16 * 16
-            self.bycap = (self.bycap + 15) // 16 * 16
-            self.nrows = (
-                self.acap + self.gcap + 2 * self.bxcap
-                + 2 * self.bycap + 16
-            )
-        else:
-            self.nrows = (
-                self.acap + self.gcap + 2 * self.bxcap
-                + 2 * self.bycap + 1
-            )
+            self.acap = align_acap(True, self._rl_backend, self.acap)
+            self.gcap = round16(self.gcap)
+            self.bxcap = round16(self.bxcap)
+            self.bycap = round16(self.bycap)
+        tail = 16 if self._rowlist else 1
+        self.nrows = (
+            self.acap + self.gcap + 2 * self.bxcap + 2 * self.bycap + tail
+        )
 
     def _resort_dev(self, x, v, nloc):
-        """Traced-nloc spatial resort by cell id (see verlet_domain)."""
-        acap = self.acap
-        xl = x[:acap]
-        bs, dims = self.grid.binsize, self.grid.dims
-        bx = jnp.clip((xl[:, 0] / bs[0]).astype(jnp.int32) + 1, 0, dims[0] - 1)
-        by = jnp.clip((xl[:, 1] / bs[1]).astype(jnp.int32) + 1, 0, dims[1] - 1)
-        bz = jnp.clip((xl[:, 2] / bs[2]).astype(jnp.int32) + 1, 0, dims[2] - 1)
-        flat = (bx * dims[1] + by) * dims[2] + bz
-        live = jnp.arange(acap, dtype=jnp.int32) < nloc
-        key = jnp.where(live, flat, jnp.int32(2**31 - 1))
-        rid = jnp.arange(acap, dtype=jnp.int32)
-        _k, perm = jax.lax.sort((key, rid), num_keys=1, is_stable=False)
-        return x.at[:acap].set(xl[perm]), v[perm]
+        from mdbench_tpu.parallel.common import resort_by_cell
+
+        return resort_by_cell(self.grid, x, v, nloc, self.acap)
 
     def _init_host_state(self, x, v):
         dtype = self.params.dtype

@@ -268,28 +268,18 @@ class Domain3DSimulation:
         return x
 
     def _fix_row_layout(self):
+        from mdbench_tpu.parallel.common import align_acap, round16
+
         if self._rowlist:
-            align = 1024 if self._rl_backend == "pallas" else 16
-            self.acap = (self.acap + align - 1) // align * align
-            self.bcap = [(b + 15) // 16 * 16 for b in self.bcap]
-            self.nrows = self.acap + 2 * sum(self.bcap) + 16
-        else:
-            self.nrows = self.acap + 2 * sum(self.bcap) + 1
+            self.acap = align_acap(True, self._rl_backend, self.acap)
+            self.bcap = [round16(b) for b in self.bcap]
+        tail = 16 if self._rowlist else 1
+        self.nrows = self.acap + 2 * sum(self.bcap) + tail
 
     def _resort_dev(self, x, v, nloc):
-        """Traced-nloc spatial resort by cell id (see verlet_domain)."""
-        acap = self.acap
-        xl = x[:acap]
-        bs, dims = self.grid.binsize, self.grid.dims
-        bx = jnp.clip((xl[:, 0] / bs[0]).astype(jnp.int32) + 1, 0, dims[0] - 1)
-        by = jnp.clip((xl[:, 1] / bs[1]).astype(jnp.int32) + 1, 0, dims[1] - 1)
-        bz = jnp.clip((xl[:, 2] / bs[2]).astype(jnp.int32) + 1, 0, dims[2] - 1)
-        flat = (bx * dims[1] + by) * dims[2] + bz
-        live = jnp.arange(acap, dtype=jnp.int32) < nloc
-        key = jnp.where(live, flat, jnp.int32(2**31 - 1))
-        rid = jnp.arange(acap, dtype=jnp.int32)
-        _k, perm = jax.lax.sort((key, rid), num_keys=1, is_stable=False)
-        return x.at[:acap].set(xl[perm]), v[perm]
+        from mdbench_tpu.parallel.common import resort_by_cell
+
+        return resort_by_cell(self.grid, x, v, nloc, self.acap)
 
     def _reneighbor_dev(self, x, v, nloc):
         ovf_m = jnp.asarray(False)

@@ -38,11 +38,13 @@ def run_verlet():
     natoms = dom.natoms
     mups_d = 1e-6 * natoms * 40 / out.total_time
     mups_s = 1e-6 * natoms * 40 / single.total_time
+    glue = (
+        100 * (out.total_time / single.total_time - 1)
+        if single.total_time else 0.0
+    )  # +N% = the domain program is N% SLOWER than the plain engine
     print(
-        "verlet-domain ndev=1: %.1f M upd/s vs single %.1f (glue %.0f%%), "
-        "temp parity rel err %.2e"
-        % (mups_d, mups_s, 100 * (single.total_time / out.total_time - 1)
-           if out.total_time else 0.0, rel)
+        "verlet-domain ndev=1: %.1f M upd/s vs single %.1f (glue %+.0f%%), "
+        "temp parity rel err %.2e" % (mups_d, mups_s, glue, rel)
     )
     assert rel < 2e-4, rel
 

@@ -200,8 +200,9 @@ def main(argv=None) -> int:
         dump_traces(state0, 0)
 
     want_traj = bool(params.vtk_file or params.xtc_file)
-    if want_traj and params.scheme != "cluster":
-        from mdbench_tpu.io.vtk import write_atoms_to_vtk_file
+    if want_traj:
+        # in-loop trajectory output at x_out_every cadence (reference
+        # main.c:282-284 for both schemes)
         from mdbench_tpu.io.trr import xtc_end, xtc_init
 
         writer = None
@@ -211,12 +212,34 @@ def main(argv=None) -> int:
             )
         chunk = params.x_out_every
 
-        def emit(state, step):
-            xs = np.asarray(state.x[: sim.nlocal])
-            if params.vtk_file:
-                write_atoms_to_vtk_file(params.vtk_file, xs, step)
-            if writer is not None:
-                writer.write(xs, step, step * params.dt)
+        if params.scheme == "cluster":
+            import jax as _jax
+
+            from mdbench_tpu.io.vtk import write_cluster_vtk_files
+
+            flatten_fn = _jax.jit(sim._flatten)
+
+            def emit(state, step):
+                if params.vtk_file:
+                    write_cluster_vtk_files(
+                        params.vtk_file, state.clusters,
+                        sim.n_clusters_pad, int(state.halo.nghost), step,
+                    )
+                if writer is not None:
+                    x_flat, _v = flatten_fn(state)
+                    writer.write(
+                        np.asarray(x_flat[: sim.nlocal]), step,
+                        step * params.dt,
+                    )
+        else:
+            from mdbench_tpu.io.vtk import write_atoms_to_vtk_file
+
+            def emit(state, step):
+                xs = np.asarray(state.x[: sim.nlocal])
+                if params.vtk_file:
+                    write_atoms_to_vtk_file(params.vtk_file, xs, step)
+                if writer is not None:
+                    writer.write(xs, step, step * params.dt)
 
         nchunks = params.ntimes // chunk
         tail = params.ntimes - nchunks * chunk
@@ -365,21 +388,8 @@ def main(argv=None) -> int:
             )
         )
 
-    if params.vtk_file:
-        if params.scheme == "cluster":
-            # the reference's clusterpair VTK writes 4 files per step:
-            # local/ghost atoms + local/ghost cluster edges (vtk.c:14-230)
-            from mdbench_tpu.io.vtk import write_cluster_vtk_files
-
-            write_cluster_vtk_files(
-                params.vtk_file, out.state.clusters, sim.n_clusters_pad,
-                int(out.state.halo.nghost), params.ntimes,
-            )
-        else:
-            from mdbench_tpu.io.vtk import write_atoms_to_vtk_file
-
-            xs = np.asarray(out.state.x[: sim.nlocal])
-            write_atoms_to_vtk_file(params.vtk_file, xs, params.ntimes)
+    # (trajectory runs already wrote every frame incl. the final one in
+    # the chunked loop above — nothing left to emit here)
     return 0
 
 

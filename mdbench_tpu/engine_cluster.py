@@ -927,6 +927,64 @@ class ClusterSimulation:
             self._grow(flags)
         raise RuntimeError("cluster capacity overflow persisted")
 
+    def run_chunked(self, chunk: int, nchunks: int, callback,
+                    max_retries: int = 5, tail: int = 0):
+        """Run in host-visible chunks for trajectory output (the
+        cluster twin of engine.Simulation.run_chunked; the reference's
+        clusterpair loop writes VTK/XTC per x_out_every step,
+        clusterpair/main.c). callback(state, step) runs on host between
+        chunks; nchunks*chunk + tail == the exact step count. Same
+        capacity protocol as run(): calibrate, grow-and-retry at setup,
+        refuse to continue past a mid-run overflow."""
+        calibrated = False
+        for _ in range(max_retries + 1):
+            state = self.initial_state()
+            jax.block_until_ready(state)
+            if bool(np.any(np.asarray(state.overflow))):
+                self._grow(np.asarray(state.overflow))
+                continue
+            if not calibrated:
+                calibrated = True
+                if self._calibrate_list_cap(state):
+                    continue
+            break
+        else:
+            raise RuntimeError("cluster capacity overflow persisted")
+        callback(state, 0)
+        compiled = (
+            self._make_run_fn(chunk).lower(state).compile()
+            if nchunks > 0 else None
+        )
+        temps_all, press_all = [], []
+        t0 = time.perf_counter()
+        for c in range(nchunks):
+            state, (temps, press) = compiled(state)
+            if bool(np.any(np.asarray(state.overflow))):
+                raise RuntimeError(
+                    f"cluster capacity overflow during chunk {c} — "
+                    "chunked output cannot resume mid-trajectory"
+                )
+            callback(state, (c + 1) * chunk)
+            temps_all.append(np.asarray(temps))
+            press_all.append(np.asarray(press))
+        if tail:
+            compiled_t = self._make_run_fn(tail).lower(state).compile()
+            state, (temps, press) = compiled_t(state)
+            if bool(np.any(np.asarray(state.overflow))):
+                raise RuntimeError("cluster overflow in the tail chunk")
+            callback(state, nchunks * chunk + tail)
+            temps_all.append(np.asarray(temps))
+            press_all.append(np.asarray(press))
+        _fence = float(jnp.sum(state.vxc[0]))
+        total = time.perf_counter() - t0
+        return CRunResult(
+            temps=np.concatenate(temps_all) if temps_all
+            else np.zeros((0,)),
+            press=np.concatenate(press_all) if press_all
+            else np.zeros((0,)),
+            state=state, total_time=total,
+        )
+
     def _grow(self, flags=None):
         """Targeted capacity growth. flags = [clusters, ghosts, bin_cap,
         z_ext, pairs_nj, pairs_coverage, ilist_nji]; None grows all."""

@@ -93,6 +93,25 @@ def test_cluster_vtk_four_files(tmp_path):
         assert head.startswith("# vtk DataFile"), f
 
 
+def test_cluster_run_chunked_trajectory(tmp_path):
+    """Cluster-scheme in-loop trajectory output: run_chunked covers
+    exactly ntimes steps for a non-dividing cadence and the callback
+    sees every boundary; temps match an unchunked run of the same
+    trajectory."""
+    from mdbench_tpu.config import Params
+    from mdbench_tpu.engine_cluster import ClusterSimulation
+
+    mk = lambda: Params(nx=3, ny=3, nz=3, kernel="xla", ntimes=13)
+    steps = []
+    out = ClusterSimulation(mk()).run_chunked(
+        5, 2, lambda st, step: steps.append(step), tail=3
+    )
+    assert steps == [0, 5, 10, 13]
+    assert out.temps.shape == (13,)
+    ref = ClusterSimulation(mk()).run(ntimes=13)
+    np.testing.assert_allclose(out.temps, ref.temps, rtol=1e-12)
+
+
 def test_native_writers_byte_identical(tmp_path, monkeypatch):
     """The C++ fast writers (native/fast_writers.cpp) must produce
     byte-identical VTK / tracer files to the pure-Python fallbacks."""

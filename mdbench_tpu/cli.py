@@ -246,9 +246,10 @@ def main(argv=None) -> int:
         out = sim.run_chunked(chunk, nchunks, emit, tail=tail)
         if writer is not None:
             xtc_end(writer)
-    elif tracing_on and params.scheme != "cluster":
+    elif tracing_on:
         # per-reneighbor trace cadence (TRACER_CONDITION): chunk the
         # run at reneighbor boundaries and dump the fresh lists
+        # (both schemes — dump_traces reads cluster j-lists too)
         def emit_traces(state, step):
             if step > 0:
                 dump_traces(state, step)

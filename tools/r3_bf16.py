@@ -209,7 +209,11 @@ def main():
         p2 = Params(precision="sp", dense_thermo=False)
         sim2 = ClusterSimulation(p2)
         # flat lists so the patched (bucket-less) kernel runs everywhere
+        # — run()'s calibration would RE-plan buckets (and the bucketed
+        # xi= path would silently fall back to the f32 kernel), so
+        # disable the planner itself, not just the current plan
         sim2.buckets = None
+        sim2._plan_buckets = lambda nji: False
         out = sim2.run()
         mups = 1e-6 * sim2.natoms * p2.ntimes / out.total_time
         try:

@@ -44,7 +44,6 @@ def make_bf16_kernel():
         b = jnp.bfloat16
         gb = ILIST_UNIT // share
         nf = W // 128
-        cut_b = b(cutforcesq)
         sig_b = b(sigma6)
         e48 = b(48.0 * epsilon)
         for k in range(gb):
@@ -61,10 +60,14 @@ def make_bf16_kernel():
                 dy = (yi - yj).astype(b)
                 dz = (zi - zj).astype(b)
                 rsq = dx * dx + dy * dy + dz * dz
-                mask = (rsq < cut_b) & (rsq > b(0.0))
-                rs = jnp.where(mask, rsq, b(1.0))
-                sr2 = pl.reciprocal(rs.astype(jnp.float32), approx=True)
-                sr2 = sr2.astype(b)
+                # v5e Mosaic rejects bf16 vector compares ("Target does
+                # not support this comparison") — run the cutoff mask in
+                # f32 on the upcast the reciprocal needs anyway
+                rs32 = rsq.astype(jnp.float32)
+                mask = (rs32 < cutforcesq) & (rs32 > 0.0)
+                sr2 = pl.reciprocal(
+                    jnp.where(mask, rs32, 1.0), approx=True
+                ).astype(b)
                 sr6 = sr2 * sr2 * sr2 * sig_b
                 gf = jnp.where(
                     mask, e48 * sr6 * (sr6 - b(0.5)) * sr2, b(0.0)

@@ -45,20 +45,18 @@ def main():
         return rows + 0.0
 
     def direct(packed, ijlist):
+        # flattened index batch, offsets trailing -> (nu*icap, 3, 16)
         op = packed.reshape(cjn, 3, 16)
         dn = jax.lax.GatherDimensionNumbers(
-            offset_dims=(1, 3),
+            offset_dims=(1, 2),
             collapsed_slice_dims=(0,),
             start_index_map=(0,),
         )
         out = jax.lax.gather(
             op, ijlist.reshape(nu * icap, 1), dn, (1, 3, 16),
-        )  # (nu*icap, 3, 16) with offset dims at 1,3 -> (nu*icap? ...)
+        )
         return out + 0.0
 
-    # NOTE: offset_dims placement above gives output rank 3 with index
-    # batch flattened; the real candidate reshapes below. Check
-    # correctness on tiny shapes first, then time.
     o = jax.jit(direct)(packed, ijlist)
     print("direct out shape:", o.shape)
     r = jax.jit(bare)(packed, ijlist)

@@ -93,7 +93,8 @@ def run_variant(name, overrides, probe_phases=True):
 
     def f_cells(x):
         cl = build_cells(sim.grid, x)
-        return x[cl.cells[:, 0], 0] + cl.bin_of.astype(x.dtype)[: x.shape[0]]
+        return (x[cl.cells[:, 0], 0].sum()
+                + cl.bin_of.sum().astype(x.dtype)).reshape(1)
 
     print("%-10s  cells      : %.3f ms" % (name, timeit(f_cells, st.x) * 1e3))
 

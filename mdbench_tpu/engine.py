@@ -197,6 +197,7 @@ class Simulation:
         # from the first build's numrows distribution (Pallas path only)
         self._force_reps = 1  # cli --timers diff sets 2 (in-loop timing)
         self._rcap_calibrated = False
+        self._melt_calibrated = False
         # the Pallas kernel's revolving output blocks need
         # nlocal_pad/8/16 % 8 == 0
         pad_unit = 1024 if self._rowlist else 256
@@ -410,6 +411,19 @@ class Simulation:
         # multiples, exactly as the C loop does (e.g. resort 50 /
         # reneigh 20 -> steps 100, 200, ...).
         resort = p.resort_every if p.sort_atoms else 0
+        if self._rowlist and p.sort_atoms:
+            # The rowlist scheme REQUIRES id-order ~ space locality: the
+            # unit-granular build and the rcap/ccap calibration assume
+            # bin-sorted locals (derive_rowlists_from_cells). Between
+            # resorts the melt decays that correlation — measured at
+            # nx=8/50 steps: post-bbox candidates 62 -> 319 and numrows
+            # 47 -> 140 by the second rebuild, overflowing any sane
+            # t=0-calibrated margin (and at 131k bloating rcap 104 ->
+            # 192, taxing every force step). So on this path the resort
+            # rides EVERY reneighbor — the same structural choice as
+            # the reference cluster scheme, which re-tiles clusters at
+            # each rebuild (clusterpair/neighbor.c:663 buildClusters).
+            resort = every
 
         def thermo(v):
             if p.dense_thermo:
@@ -452,7 +466,14 @@ class Simulation:
             types = state.types
             if do_resort:
                 from mdbench_tpu.ops.cells import sort_atoms_device
+                from mdbench_tpu.ops.integrate import wrap_into_box
 
+                # wrap BEFORE sorting: the sort must bin atoms at their
+                # wrapped positions, or a 16-row holding a boundary atom
+                # that wraps afterwards spans the whole box and defeats
+                # every bbox prune (measured at nx=8: post-bbox
+                # candidates 122 -> 234 without the pre-wrap)
+                x = wrap_into_box(x, self.prd, nlocal)
                 x, v, types = sort_atoms_device(
                     self.grid, x, v, types, nlocal
                 )
@@ -538,6 +559,9 @@ class Simulation:
             if self._calibrate_rcap(state0):
                 state0 = self.initial_state()
                 jax.block_until_ready(state0)
+            if ntimes >= p.reneigh_every and self._calibrate_melted(state0):
+                state0 = self.initial_state()
+                jax.block_until_ready(state0)
             run_fn = self._make_run_fn(ntimes)
             flags_dev = jnp.asarray(flags)
             # AOT-compile so the timed region is pure execution, matching
@@ -563,7 +587,7 @@ class Simulation:
                     force_time=float("nan"),
                     neigh_time=float("nan"),
                 )
-            self._grow_caps()
+            self._grow_caps(state)
         raise RuntimeError("capacity overflow persisted after retries")
 
     def _calibrate_rcap(self, state0) -> bool:
@@ -616,9 +640,68 @@ class Simulation:
             self._build_device_state()
         return changed
 
-    def _grow_caps(self):
+    def _calibrate_melted(self, state0, max_retries: int = 3) -> bool:
+        """Second calibration pass on a MELTED box (rowlist path): run
+        one throwaway reneighbor interval from t=0 and re-set rcap/ccap
+        (+ the bucket plan) from that rebuild's observed numrows/ncmax.
+        The benchmark starts from a perfect lattice whose row/candidate
+        counts undershoot the liquid steady state by ~1.5-2x (measured
+        at nx=8: numrows max 47 -> 66, post-bbox candidates 62 -> 122
+        by the first rebuild); calibrating on the lattice alone either
+        loses the overflow race or forces bloated retry caps that tax
+        every force step. One probe interval (compile + ~20 steps,
+        outside the timed region) buys liquid-tight caps. Pallas
+        (TPU) backend only: on CPU the probe's extra interval compile
+        taxes every test, and correctness is already covered by the
+        targeted grow-and-retry."""
+        if (not self._rowlist or self._melt_calibrated
+                or self._rowlist_backend != "pallas"):
+            return False
+        self._melt_calibrated = True
+        every = self.params.reneigh_every
+        changed = False
+        for _ in range(max_retries + 1):
+            probe_fn = self._make_run_fn(every)
+            st1, _tp = probe_fn(state0, jnp.zeros((0,)))
+            jax.block_until_ready(st1.nlist.numrows)
+            if bool(np.asarray(st1.overflow)):
+                self._grow_caps(st1)
+                state0 = self.initial_state()
+                changed = True
+                continue
+            nrh = np.asarray(st1.nlist.numrows)
+            rt = max((int(nrh.max() * 1.3) + 7) // 8 * 8, 16)
+            if rt != self.rcap:
+                self.rcap = rt
+                changed = True
+            if st1.nlist.ncmax is not None:
+                ct = max(
+                    (int(int(np.asarray(st1.nlist.ncmax)) * 1.3) + 7)
+                    // 8 * 8,
+                    24,
+                )
+                if ct != self.ccap:
+                    self.ccap = ct
+                    changed = True
+            if self._rowlist_backend == "pallas":
+                from mdbench_tpu.ops.cluster import plan_capacity_buckets
+
+                plan = plan_capacity_buckets(nrh, self.rcap, 2)
+                if plan != self.rbuckets:
+                    self.rbuckets = plan
+                    changed = True
+            break
+        if changed:
+            self._build_device_state()
+        return changed
+
+    def _grow_caps(self, state=None):
         """Grow every overflowable capacity and rebuild device state
-        (reference RESIZE semantics)."""
+        (reference RESIZE semantics). When the failed run's final state
+        is available, grow rcap/ccap to at least the OBSERVED maxima
+        (the last rebuild's numrows/ncmax ride the state) — a blind
+        1.5x ladder from a tightly calibrated base can lose the race
+        against a fast-melting box."""
         self.caps = self.caps._replace(
             ghost=int(self.caps.ghost * 1.5),
             maxneighs=int(self.caps.maxneighs * 1.3) // 8 * 8 + 8,
@@ -626,6 +709,14 @@ class Simulation:
         )
         self.rcap = int(self.rcap * 1.6 + 7) // 8 * 8
         self.ccap = int(self.ccap * 1.5 + 7) // 8 * 8
+        if state is not None and self._rowlist:
+            nrmax = int(np.asarray(state.nlist.numrows).max())
+            self.rcap = max(self.rcap, (int(nrmax * 1.5) + 7) // 8 * 8)
+            if state.nlist.ncmax is not None:
+                ncmax = int(np.asarray(state.nlist.ncmax))
+                self.ccap = max(
+                    self.ccap, (int(ncmax * 1.4) + 7) // 8 * 8
+                )
         self.ucl += 2
         self.ubr += 8
         if self.rbuckets is not None:
@@ -655,6 +746,10 @@ class Simulation:
                 self._grow_caps()
                 continue
             if self._calibrate_rcap(state):
+                state = self.initial_state()
+                jax.block_until_ready(state)
+            if (nchunks * chunk + tail >= self.params.reneigh_every
+                    and self._calibrate_melted(state)):
                 state = self.initial_state()
                 jax.block_until_ready(state)
             break

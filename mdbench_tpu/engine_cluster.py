@@ -386,13 +386,7 @@ class ClusterSimulation:
         typed = self.type_tables is not None
         if self.eam_tables is not None:
             assert not typed, "cluster EAM is single-type (funcfl)"
-            # the Pallas pass streams (ILIST_UNIT//share, W) j-blocks;
-            # Mosaic needs >=8 sublanes, so share>2 rides the XLA twin
             if self._kmode == "ilist_pl":
-                from mdbench_tpu.ops.pallas.eam_cluster import (
-                    ILIST_UNIT as _IU,
-                )
-            if self._kmode == "ilist_pl" and _IU // self.ishare >= 8:
                 from mdbench_tpu.ops.pallas.eam_cluster import (
                     eam_cluster_force_pallas,
                 )

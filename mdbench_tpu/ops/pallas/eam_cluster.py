@@ -54,9 +54,9 @@ def _kernel_eam_rho(
     gb = ILIST_UNIT // share
     nf = W // 128
     for k in range(gb):
-        xj = xj_ref[k : k + 1, :]
-        yj = yj_ref[k : k + 1, :]
-        zj = zj_ref[k : k + 1, :]
+        xj = xj_ref[0, k, :].reshape(1, W)
+        yj = yj_ref[0, k, :].reshape(1, W)
+        zj = zj_ref[0, k, :].reshape(1, W)
         for ic in range(share):
             i = k * share + ic
             xi = xi_ref[i, :].reshape(8, 1)
@@ -90,10 +90,10 @@ def _kernel_eam_force(
     gb = ILIST_UNIT // share
     nf = W // 128
     for k in range(gb):
-        xj = xj_ref[k : k + 1, :]
-        yj = yj_ref[k : k + 1, :]
-        zj = zj_ref[k : k + 1, :]
-        fpj = fpj_ref[k : k + 1, :]
+        xj = xj_ref[0, k, :].reshape(1, W)
+        yj = yj_ref[0, k, :].reshape(1, W)
+        zj = zj_ref[0, k, :].reshape(1, W)
+        fpj = fpj_ref[0, k, :].reshape(1, W)
         for ic in range(share):
             i = k * share + ic
             xi = xi_ref[i, :].reshape(8, 1)
@@ -139,7 +139,12 @@ def _pass_call(kern, n_out, W, share, dtype, j_planes, i_planes,
     nb = n_out // ILIST_UNIT
     assert nb % 8 == 0 and nb * ILIST_UNIT == n_out
     gb = ILIST_UNIT // share
-    xj_block = pl.BlockSpec((gb, W), lambda b: (b, 0), memory_space=pltpu.VMEM)
+    # j planes arrive 3-D (nb, gb, W); a (1, gb, W) block's trailing two
+    # dims equal the array's, which Mosaic accepts for ANY gb (a 2-D
+    # (gb, W) block needs gb % 8 == 0, ruling out share=4).
+    xj_block = pl.BlockSpec(
+        (1, gb, W), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+    )
     xi_block = pl.BlockSpec(
         (ILIST_UNIT, 8), lambda b: (b, 0), memory_space=pltpu.VMEM
     )
@@ -166,11 +171,11 @@ def _pass_call(kern, n_out, W, share, dtype, j_planes, i_planes,
     return [o.reshape(n_out, 8) for o in out]
 
 
-def _planarize(rows, icap, parts):
+def _planarize(rows, icap, parts, gb):
     nu = rows.shape[0]
     W = icap * 16
     return [
-        rows[:, :, 16 * p : 16 * (p + 1)].reshape(nu, W)
+        rows[:, :, 16 * p : 16 * (p + 1)].reshape(nu // gb, gb, W)
         for p in range(parts)
     ]
 
@@ -234,7 +239,7 @@ def eam_cluster_force_pallas(
             r0, r1 = off * share, (off + n_k) * share
             ijl = bijlist[off : off + n_k, :c_k]
             rows = packed[ijl.reshape(-1)].reshape(n_k, c_k, 16 * parts)
-            j_planes = _planarize(rows, c_k, parts)
+            j_planes = _planarize(rows, c_k, parts, ILIST_UNIT // share)
             i_planes = [p[r0:r1] for p in xiP]
             if i_extra is not None:
                 i_planes.append(i_extra[r0:r1])

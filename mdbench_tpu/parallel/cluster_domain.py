@@ -583,6 +583,7 @@ class ClusterDomainSimulation:
             dev_body, mesh=self.mesh,
             in_specs=(spec, spec, spec),
             out_specs=(spec, spec, spec),
+            check_vma=False,
         )
         return jax.jit(sharded)
 
@@ -606,6 +607,9 @@ class ClusterDomainSimulation:
         p = self.params
         ntimes = p.ntimes if ntimes is None else ntimes
         run_fn = self._make_run_fn(ntimes)
+        # AOT-compile outside the timed region (same wall-clock protocol
+        # as the single-chip engines)
+        run_fn = run_fn.lower(self.x0, self.v0, self.n0).compile()
         t0 = time.perf_counter()
         nloc, ovf, temps = run_fn(self.x0, self.v0, self.n0)
         _fence = float(jnp.ravel(temps)[0])

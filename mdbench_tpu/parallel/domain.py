@@ -129,6 +129,7 @@ def make_sharded_step(mesh: Mesh, params: Params, axis: str = "x"):
         mesh=mesh,
         in_specs=(spec, spec, spec, spec),
         out_specs=(spec, spec, spec, spec),
+        check_vma=False,
     )
 
     @jax.jit

@@ -621,6 +621,12 @@ class DomainSimulation:
         # as the single-chip engines: main.c times the step loop, not
         # the build)
         run_fn = run_fn.lower(*args).compile()
+        if jax.default_backend() == "tpu":
+            # warm-up execution: the first run of a compiled program
+            # carries 1-2 s of server-side warm-up on the tunnel
+            warm = run_fn(*args)
+            _ = float(jnp.sum(warm[1][0, 0]))
+            del warm
         t0 = time.perf_counter()
         out = run_fn(*args)
         temps = out[-1]

@@ -72,7 +72,7 @@ def main():
     def f_integ(x):
         x2, v2 = initial_integrate(x, st.v, st.f, dt, dtf, nl)
         v3 = final_integrate(v2, st.f, dtf, nl)
-        return x2 + 1e-30 * v3
+        return x2 + 1e-30 * v3.sum()
 
     print("integrate pair : %.3f ms" % (timeit(f_integ, st.x) * 1e3))
 
@@ -81,7 +81,7 @@ def main():
         x2 = update_pbc(x2, st.halo, caps.nlocal_pad)
         f = sim._force(x2, st.types, st.nlist, st.halo)
         v3 = final_integrate(v2, f, dtf, nl)
-        return x2 + 1e-30 * v3
+        return x2 + 1e-30 * v3.sum()
 
     print("one plain step : %.3f ms" % (timeit(f_step, st.x) * 1e3))
 
@@ -98,7 +98,7 @@ def main():
 
         (xo, vo, fo), _ = jax.lax.scan(
             body, (x, st.v, st.f), None, length=19)
-        return xo + 1e-30 * (vo + fo)
+        return xo + 1e-30 * (vo + fo).sum()
 
     t19 = timeit(f_scan19, st.x, reps=4)
     print("19-step scan   : %.3f ms  (%.3f ms/step)"

@@ -119,6 +119,11 @@ def parse_args(argv) -> Params:
         elif a in ("-h", "--help"):
             print(HELP)
             sys.exit(0)
+        elif a.startswith("-"):
+            # the reference mains skip unknown argv entries; keep that
+            # compatibility but warn loudly — a typo like "--prec sp"
+            # silently running the DP default is a numerics trap
+            sys.stderr.write("WARNING: ignoring unknown flag %r\n" % a)
         i += 1
     p.finalize()
     return p

@@ -632,7 +632,9 @@ class Simulation:
         if self.rbuckets is None and self._rowlist_backend == "pallas":
             from mdbench_tpu.ops.cluster import plan_capacity_buckets
 
-            plan = plan_capacity_buckets(nrh, self.rcap, 2)
+            plan = plan_capacity_buckets(
+                nrh, self.rcap, 2, zero_tier=True
+            )
             if plan is not None:
                 self.rbuckets = plan
                 changed = True
@@ -686,7 +688,11 @@ class Simulation:
             if self._rowlist_backend == "pallas":
                 from mdbench_tpu.ops.cluster import plan_capacity_buckets
 
-                plan = plan_capacity_buckets(nrh, self.rcap, 2)
+                # melted-basis plan: the drift the default margin
+                # guards against is already in the data -> margin 2
+                plan = plan_capacity_buckets(
+                    nrh, self.rcap, 2, margin=2, zero_tier=True
+                )
                 if plan != self.rbuckets:
                     self.rbuckets = plan
                     changed = True

@@ -84,6 +84,11 @@ def _kernel_mode(params: Params) -> str:
     interpret mode is an emulator, not a fast path)."""
     if params.kernel == "auto":
         on_cpu = jax.devices()[0].platform == "cpu"
+        if not on_cpu and params.precision == "dp":
+            # f64 does not lower through Mosaic (convert recursion in
+            # pallas lowering); DP on an accelerator runs the fused-XLA
+            # twin (DP is the CPU-parity axis — cli.py already warns)
+            return "ilist"
         return "ilist" if on_cpu else "ilist_pl"
     return params.kernel
 
@@ -493,6 +498,14 @@ class ClusterSimulation:
         fxs, fys, fzs = [], [], []
         off = 0
         for n_k, c_k in zip(sizes, caps):
+            if c_k == 0:
+                # structurally-empty units (zero_tier): no kernel
+                z = jnp.zeros((n_k * share, 8), xc.dtype)
+                fxs.append(z)
+                fys.append(z)
+                fzs.append(z)
+                off += n_k
+                continue
             r0, r1 = off * share, (off + n_k) * share
             fxk, fyk, fzk = lj_cluster_force_ilist_pallas(
                 xc, yc, zc, pairs.bijlist[off : off + n_k, :c_k],
@@ -885,7 +898,13 @@ class ClusterSimulation:
             return False
         if self._kmode != "ilist_pl" or self.type_tables is not None:
             return False
-        plan = plan_capacity_buckets(nji, self.icap, self.ishare)
+        # margin 2: the cold-lattice nji bulk sits ~2 below the melted
+        # steady state's (measured at 131k, tools/r3_nji.py); membership
+        # is argsort-adaptive so the margin only protects the static
+        # sizes, and bovf -> grow-retry backstops a larger drift
+        plan = plan_capacity_buckets(
+            nji, self.icap, self.ishare, margin=2, zero_tier=True
+        )
         if plan is None:
             return False
         self.buckets = plan

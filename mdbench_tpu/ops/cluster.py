@@ -987,36 +987,41 @@ def derive_ilists(
     )
 
 
-def plan_capacity_buckets(nji: "np.ndarray", cap: int, share: int):
+def plan_capacity_buckets(nji: "np.ndarray", cap: int, share: int,
+                          margin: int = 4, zero_tier: bool = False):
     """Choose capacity buckets for an exact-list force path from the
     observed list-length distribution (used by both the cluster-scheme
-    ilist path and the verlet rowlist path). Caps carry a +4 thermal
-    margin (heated quantiles sit ~3-5 above the cold lattice's); sizes
-    sit slightly below their quantile so the runtime sorted assignment
-    has slack. Returns (sizes, caps) or None when bucketing can't pay
-    (small boxes: the per-step permutation gathers cost ~0.3 ms at
-    131k)."""
+    ilist path and the verlet rowlist path). Candidate caps are EVERY
+    pad8 value below `cap` (the kernel's W = cap*16 lanes must tile
+    128, so 8 is the cap granularity; tiers that catch < one size
+    granule of units are dropped, so the tier count stays small — the
+    131k LJ distribution yields 3-4 kernels). `margin` absorbs the
+    cold-lattice -> heated drift of the distribution the plan was
+    calibrated on (runtime bucket MEMBERSHIP is argsort-adaptive per
+    rebuild; only the static sizes must keep holding, checked by bovf
+    -> grow-retry). `zero_tier` adds a cap-0 bucket for structurally
+    empty units (capacity-padding units past nlocal hold sentinel
+    coordinates and ALWAYS have empty lists — at 131k they are 16% of
+    the units and their force kernel is skipped entirely). Returns
+    (sizes, caps) or None when bucketing can't pay (small boxes: the
+    per-step permutation gathers cost ~0.3 ms at 131k)."""
     nu = nji.shape[0]
     if nu < 4096:
         return None
 
-    def pad8(x):
-        return max(8, (int(x) + 7) // 8 * 8)
-
     # bucket-size granularity: n_k * share clusters must tile into
     # 16-cluster kernel units AND 8-unit revolving output blocks
     gran = max(128 // share, 8)
-    srt = np.sort(nji) + 4
-    cand = [8] + [
-        pad8(srt[min(int(q * nu), nu - 1)])
-        for q in (0.30, 0.55, 0.75, 0.90, 0.985)
-    ]
+    srt = np.sort(nji) + margin
+    cand = list(range(8, cap, 8))
+    if zero_tier:
+        # exact zeros only (no margin): always-empty padding units
+        cand = [0] + cand
     sizes, caps = [], []
     used = 0
-    for c_k in sorted(set(cand)):
-        if c_k >= cap:
-            break
-        n_fit = int((srt <= c_k).sum() * 0.99) // gran * gran - used
+    for c_k in cand:
+        fit = (np.sort(nji) <= 0) if c_k == 0 else (srt <= c_k)
+        n_fit = int(fit.sum() * 0.99) // gran * gran - used
         if n_fit >= gran:
             sizes.append(n_fit)
             caps.append(c_k)

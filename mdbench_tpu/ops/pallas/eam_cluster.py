@@ -234,8 +234,19 @@ def eam_cluster_force_pallas(
         outs = None
         off = 0
         for n_k, c_k in zip(sizes, caps):
-            W = c_k * 16
             n_out = n_k * share
+            if c_k == 0:
+                # structurally-empty units (zero_tier): no kernel;
+                # rho = 0 for padding units is exact (empty list)
+                z = jnp.zeros((n_out, 8), dtype)
+                res = [z] * n_outputs
+                outs = res if outs is None else [
+                    jnp.concatenate([a, b], axis=0)
+                    for a, b in zip(outs, res)
+                ]
+                off += n_k
+                continue
+            W = c_k * 16
             r0, r1 = off * share, (off + n_k) * share
             ijl = bijlist[off : off + n_k, :c_k]
             rows = packed[ijl.reshape(-1)].reshape(n_k, c_k, 16 * parts)

@@ -510,6 +510,14 @@ def compute_force_lj_rowlist(
         fxs, fys, fzs = [], [], []
         off = 0
         for n_k, c_k in zip(sizes, caps):
+            if c_k == 0:
+                # structurally-empty units (zero_tier): no kernel
+                z = jnp.zeros((n_k * 2, 8), xc.dtype)
+                fxs.append(z)
+                fys.append(z)
+                fzs.append(z)
+                off += n_k
+                continue
             r0, r1 = off * 2, (off + n_k) * 2
             fxk, fyk, fzk = lj_cluster_force_ilist_pallas(
                 xc, yc, zc, brows[off : off + n_k, :c_k], n_k * 2,

@@ -45,7 +45,7 @@ def _fold128(p, nf):
 def _kernel_eam_rho(
     xj_ref, yj_ref, zj_ref, xi_ref, yi_ref, zi_ref, rho_ref, acc,
     *, share: int, W: int, cutforcesq: float, dens_coefs,
-    mid: float, iscale: float,
+    mid: float, iscale: float, j3d: bool = True,
 ):
     """Pass 1: per-atom embedding density. One (8, W) pair tile per
     i-cluster; dens(r) via static Horner; lane-fold + ones-dot
@@ -54,9 +54,14 @@ def _kernel_eam_rho(
     gb = ILIST_UNIT // share
     nf = W // 128
     for k in range(gb):
-        xj = xj_ref[0, k, :].reshape(1, W)
-        yj = yj_ref[0, k, :].reshape(1, W)
-        zj = zj_ref[0, k, :].reshape(1, W)
+        if j3d:
+            xj = xj_ref[0, k, :].reshape(1, W)
+            yj = yj_ref[0, k, :].reshape(1, W)
+            zj = zj_ref[0, k, :].reshape(1, W)
+        else:
+            xj = xj_ref[k : k + 1, :]
+            yj = yj_ref[k : k + 1, :]
+            zj = zj_ref[k : k + 1, :]
         for ic in range(share):
             i = k * share + ic
             xi = xi_ref[i, :].reshape(8, 1)
@@ -82,7 +87,7 @@ def _kernel_eam_force(
     xj_ref, yj_ref, zj_ref, fpj_ref, xi_ref, yi_ref, zi_ref, fpi_ref,
     fx_ref, fy_ref, fz_ref, ax, ay, az,
     *, share: int, W: int, cutforcesq: float, g1_coefs, g2_coefs,
-    mid: float, iscale: float,
+    mid: float, iscale: float, j3d: bool = True,
 ):
     """Pass 2: pair forces fpair = -((fp_i + fp_j) g1(r) + g2(r));
     distances, both Horner chains, and all three component
@@ -90,10 +95,16 @@ def _kernel_eam_force(
     gb = ILIST_UNIT // share
     nf = W // 128
     for k in range(gb):
-        xj = xj_ref[0, k, :].reshape(1, W)
-        yj = yj_ref[0, k, :].reshape(1, W)
-        zj = zj_ref[0, k, :].reshape(1, W)
-        fpj = fpj_ref[0, k, :].reshape(1, W)
+        if j3d:
+            xj = xj_ref[0, k, :].reshape(1, W)
+            yj = yj_ref[0, k, :].reshape(1, W)
+            zj = zj_ref[0, k, :].reshape(1, W)
+            fpj = fpj_ref[0, k, :].reshape(1, W)
+        else:
+            xj = xj_ref[k : k + 1, :]
+            yj = yj_ref[k : k + 1, :]
+            zj = zj_ref[k : k + 1, :]
+            fpj = fpj_ref[k : k + 1, :]
         for ic in range(share):
             i = k * share + ic
             xi = xi_ref[i, :].reshape(8, 1)
@@ -139,12 +150,21 @@ def _pass_call(kern, n_out, W, share, dtype, j_planes, i_planes,
     nb = n_out // ILIST_UNIT
     assert nb % 8 == 0 and nb * ILIST_UNIT == n_out
     gb = ILIST_UNIT // share
-    # j planes arrive 3-D (nb, gb, W); a (1, gb, W) block's trailing two
-    # dims equal the array's, which Mosaic accepts for ANY gb (a 2-D
-    # (gb, W) block needs gb % 8 == 0, ruling out share=4).
-    xj_block = pl.BlockSpec(
-        (1, gb, W), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
-    )
+    # j-plane layout: 2-D (gb, W) blocks are the FAST form (measured
+    # force 5.1 vs 8.3 ms at 131k — the 3-D in-kernel reads relayout)
+    # but Mosaic requires gb % 8 == 0 for them; share=4 (gb=4) falls
+    # back to 3-D (nb, gb, W) blocks whose trailing dims equal the
+    # array's, which Mosaic accepts for any gb.
+    j3d = gb % 8 != 0
+    kern = functools.partial(kern, j3d=j3d)
+    if j3d:
+        xj_block = pl.BlockSpec(
+            (1, gb, W), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+        )
+    else:
+        xj_block = pl.BlockSpec(
+            (gb, W), lambda b: (b, 0), memory_space=pltpu.VMEM
+        )
     xi_block = pl.BlockSpec(
         (ILIST_UNIT, 8), lambda b: (b, 0), memory_space=pltpu.VMEM
     )
@@ -174,6 +194,11 @@ def _pass_call(kern, n_out, W, share, dtype, j_planes, i_planes,
 def _planarize(rows, icap, parts, gb):
     nu = rows.shape[0]
     W = icap * 16
+    if gb % 8 == 0:  # fast 2-D layout (see _pass_call)
+        return [
+            rows[:, :, 16 * p : 16 * (p + 1)].reshape(nu, W)
+            for p in range(parts)
+        ]
     return [
         rows[:, :, 16 * p : 16 * (p + 1)].reshape(nu // gb, gb, W)
         for p in range(parts)

@@ -85,7 +85,8 @@ def main():
             if pairs.bijlist is not None:
                 off = 0
                 for n_k, c_k in zip(*sim.buckets):
-                    yield pairs.bijlist[off:off + n_k, :c_k]
+                    if c_k > 0:  # zero_tier buckets run no kernel
+                        yield pairs.bijlist[off:off + n_k, :c_k]
                     off += n_k
             else:
                 yield pairs.ijlist
@@ -140,6 +141,44 @@ def main():
             return c.xc
 
         print("  integrate+ghost    : %.3f ms" % (timeit(f_intg, *args) * 1e3))
+
+        # the scan WITHOUT the force kernel: everything else the body
+        # does (v kicks, x drift DUS, ghost refresh, carry threading) —
+        # the force stub keeps a data dependence so nothing DCEs
+        dt, dtf = p.dt, sim.dtforce
+
+        @jax.jit
+        def glue_reps(st0):
+            def body(mv, _):
+                xc, yc, zc, vx, vy, vz, fx, fy, fz = mv
+                vx = vx + dtf * fx
+                vy = vy + dtf * fy
+                vz = vz + dtf * fz
+                xc = xc.at[:npad].add(dt * vx)
+                yc = yc.at[:npad].add(dt * vy)
+                zc = zc.at[:npad].add(dt * vz)
+                c = cl._replace(xc=xc, yc=yc, zc=zc)
+                c = update_cluster_pbc(c, st.halo, npad, False)
+                fx = fx + 1e-30 * c.xc[:npad]
+                fy = fy + 1e-30 * c.yc[:npad]
+                fz = fz + 1e-30 * c.zc[:npad]
+                vx = vx + dtf * fx
+                vy = vy + dtf * fy
+                vz = vz + dtf * fz
+                return (c.xc, c.yc, c.zc, vx, vy, vz, fx, fy, fz), ()
+
+            mv0 = (st0.clusters.xc, st0.clusters.yc, st0.clusters.zc,
+                   st0.vxc, st0.vyc, st0.vzc, st0.fxc, st0.fyc, st0.fzc)
+            mv, _ = jax.lax.scan(body, mv0, None, length=24)
+            return mv[3]
+
+        fence(glue_reps(st))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fence(glue_reps(st))
+            best = min(best, time.perf_counter() - t0)
+        print("  scan minus force   : %.3f ms" % ((best - tunnel_rtt()) / 24 * 1e3))
 
     if want("cheap"):
         @jax.jit

@@ -191,7 +191,8 @@ class Simulation:
         )
         self.rcap = 64  # row-list capacity; grown on overflow
         self.ccap = 128  # pre-prune row-candidate capacity
-        self.ucl = 4  # distinct cells per unit (small/drifted boxes grow it)
+        self.ucl = 4  # distinct xy COLUMNS per unit (grown on overflow)
+        self.zw = 4  # z-run width (covers a unit column's zspan + 2)
         self.ubr = 8  # distinct 16-rows per cell
         self.rbuckets = None  # (sizes, caps) capacity buckets, planned
         # from the first build's numrows distribution (Pallas path only)
@@ -296,7 +297,7 @@ class Simulation:
             rows, numrows, ncmax, rovf = derive_rowlists_from_cells(
                 self.grid, cl, x, self.nlocal, caps.nlocal_pad,
                 self.rcap, p.cutneigh, brcap=self.ubr,
-                ucells=self.ucl, ccap=self.ccap,
+                ucol=self.ucl, zw=self.zw, ccap=self.ccap,
             )
             brows = bcrows = binv = None
             if self.rbuckets is not None:
@@ -624,20 +625,19 @@ class Simulation:
         # heating margin): the exact-prune coordinate gather and lane
         # count scale with ccap
         if state0.nlist.ncmax is not None:
-            ncmax = int(np.asarray(state0.nlist.ncmax))
-            ct = max((int(ncmax * 1.4) + 7) // 8 * 8, 24)
+            st_ = np.asarray(state0.nlist.ncmax)
+            ct = max((int(int(st_[0]) * 1.4) + 7) // 8 * 8, 24)
             if ct != self.ccap:
                 self.ccap = ct
                 changed = True
-        if self.rbuckets is None and self._rowlist_backend == "pallas":
-            from mdbench_tpu.ops.cluster import plan_capacity_buckets
-
-            plan = plan_capacity_buckets(
-                nrh, self.rcap, 2, zero_tier=True
-            )
-            if plan is not None:
-                self.rbuckets = plan
-                changed = True
+            changed = self._set_struct_caps(st_) or changed
+        # buckets are NOT planned here: on the pallas path the melt
+        # calibration plans them from melted data right after (its
+        # probe interval runs bucket-free — a cold-basis plan that
+        # overflows mid-melt fires _grow_caps, whose indiscriminate
+        # ucl/ubr growth permanently bloats the rebuild: measured
+        # 70.7 -> 99.5 ms at 131k), and the bucketed force path is
+        # pallas-only so no other backend consumes a plan
         if changed:
             self._build_device_state()
         return changed
@@ -677,21 +677,24 @@ class Simulation:
                 self.rcap = rt
                 changed = True
             if st1.nlist.ncmax is not None:
+                st_ = np.asarray(st1.nlist.ncmax)
                 ct = max(
-                    (int(int(np.asarray(st1.nlist.ncmax)) * 1.3) + 7)
-                    // 8 * 8,
-                    24,
+                    (int(int(st_[0]) * 1.3) + 7) // 8 * 8, 24
                 )
                 if ct != self.ccap:
                     self.ccap = ct
                     changed = True
+                changed = self._set_struct_caps(st_) or changed
             if self._rowlist_backend == "pallas":
                 from mdbench_tpu.ops.cluster import plan_capacity_buckets
 
-                # melted-basis plan: the drift the default margin
-                # guards against is already in the data -> margin 2
+                # margin 4 even on the melted basis: the probe interval
+                # ends at step reneigh_every, well before the liquid
+                # steady state — the bulk numrows still grows a few
+                # more; a mid-run bucket overflow costs a full retry
+                # AND an indiscriminate _grow_caps
                 plan = plan_capacity_buckets(
-                    nrh, self.rcap, 2, margin=2, zero_tier=True
+                    nrh, self.rcap, 2, zero_tier=True
                 )
                 if plan != self.rbuckets:
                     self.rbuckets = plan
@@ -699,6 +702,28 @@ class Simulation:
             break
         if changed:
             self._build_device_state()
+        return changed
+
+    def _set_struct_caps(self, stats,
+                         grow_only: bool = False) -> bool:
+        """Set the row-build structural caps (ucol/zw/brcap) from a
+        build's observed maxima (derive_rowlists_from_cells stats
+        vector: [ncmax, dcolmax, zspanmax, brmax]) with +1/+2 drift
+        headroom. grow_only: never shrink (overflow-retry path — the
+        observed maxima come from a FAILED build and may
+        underestimate)."""
+        dmax, zmax, bmax = (int(stats[1]), int(stats[2]), int(stats[3]))
+        want = {
+            "ucl": max(dmax + 1, 2),
+            "zw": max(zmax + 3, 3),
+            "ubr": max(bmax + 2, 4),
+        }
+        changed = False
+        for name, w in want.items():
+            cur = getattr(self, name)
+            if w > cur or (not grow_only and w < cur):
+                setattr(self, name, w)
+                changed = True
         return changed
 
     def _grow_caps(self, state=None):
@@ -715,16 +740,21 @@ class Simulation:
         )
         self.rcap = int(self.rcap * 1.6 + 7) // 8 * 8
         self.ccap = int(self.ccap * 1.5 + 7) // 8 * 8
+        grew_struct = False
         if state is not None and self._rowlist:
             nrmax = int(np.asarray(state.nlist.numrows).max())
             self.rcap = max(self.rcap, (int(nrmax * 1.5) + 7) // 8 * 8)
             if state.nlist.ncmax is not None:
-                ncmax = int(np.asarray(state.nlist.ncmax))
+                st_ = np.asarray(state.nlist.ncmax)
                 self.ccap = max(
-                    self.ccap, (int(ncmax * 1.4) + 7) // 8 * 8
+                    self.ccap, (int(int(st_[0]) * 1.4) + 7) // 8 * 8
                 )
-        self.ucl += 2
-        self.ubr += 8
+                grew_struct = self._set_struct_caps(st_, grow_only=True)
+        if not grew_struct:
+            # no observed stats (or none grew): blind structural ladder
+            self.ucl += 2
+            self.zw += 1
+            self.ubr += 8
         if self.rbuckets is not None:
             # widen every bucket cap; the last cap tracks rcap
             sizes, caps = self.rbuckets

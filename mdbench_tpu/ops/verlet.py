@@ -194,18 +194,26 @@ def derive_rowlists_from_cells(
     rcap: int,
     cutneigh: float,
     brcap: int = 8,  # distinct 16-rows per cell (checked)
-    ucells: int = 4,  # distinct cells per 16-atom unit (checked)
+    ucol: int = 4,  # distinct xy COLUMNS per 16-atom unit (checked)
+    zw: int = 4,  # z-run width: one read covers a unit COLUMN's whole
+    # z window [zmin-1, zmin+zw-2]; needs per-column zspan <= zw-3
     ccap: int = 128,  # candidate rows per unit before the exact prune
     chunk: int = 512,
+    _probe_stage=None,  # tools/r3_vrows.py: early-return a stage's output
 ):
     """Packed 16-atom-row lists derived DIRECTLY from the cell table —
     the rowlist path's fast rebuild. Replaces per-atom verlet lists +
     union (34 + 7.8 ms at 131k) with a unit-granular pipeline (~16x
     fewer gather issues and sort rows): per cell, the distinct 16-rows
-    of its atoms with their bboxes; per 16-atom unit, the 3x3 xy
-    stencil of its distinct cells fetched as z-runs; a bbox gap test
-    vs the unit bbox; dedup; then the EXACT unit-row min-distance
-    check against cutneigh. The kept set is provably identical to
+    of its atoms with their bboxes; per 16-atom unit, the xy stencil
+    of its DISTINCT COLUMNS, each stencil column fetched as ONE z-run
+    covering that unit column's own z window (per-column windows stay
+    small even for units that straddle a column boundary in the
+    z-fastest sort order; the earlier per-cell 3x3 z-triple fetch read
+    each stencil column up to 3x zspan times — 54 reads and 2592
+    dedup-sort lanes per unit at melt vs ~27 reads / 540 lanes here);
+    a bbox gap test vs the unit bbox; dedup; then the EXACT unit-row
+    min-distance check against cutneigh. The kept set is provably identical to
     derive_rowlists' union of exact per-atom lists (a row is kept iff
     some (i in unit, j in row) pair is within cutneigh), so forces are
     identical. Reference analogue: buildNeighbor's stencil+cutoff
@@ -213,15 +221,17 @@ def derive_rowlists_from_cells(
 
     Relies on ghosts being cell-sorted (setup_pbc sort_grid) and
     locals bin-sorted at resort so rows per cell stay few (brcap).
-    Returns (rows (nu, rcap) int32, numrows, ncmax, overflow) — ncmax
-    is the observed post-bbox candidate maximum (drives the engine's
-    ccap calibration)."""
+    Returns (rows (nu, rcap) int32, numrows, stats, overflow) — stats
+    is an int32 (4,) vector of observed maxima [post-bbox candidates,
+    distinct unit columns, per-column z-cell span, distinct rows per
+    cell] driving the engine's targeted cap calibration (ccap, ucol,
+    zw, brcap)."""
     nrows = x.shape[0]
     assert nrows % 16 == 0 and nlocal_pad % 16 == 0 and rcap % 8 == 0
     nu = nlocal_pad // 16
     sent16 = nrows // 16 - 1
     sentinel_row = nrows - 1
-    ZW = 3  # z-run width: cells z-1..z+1 as one flat-id run read
+    ZW = zw
     _d0, d1, d2 = grid.dims
     dtype = x.dtype
 
@@ -269,56 +279,97 @@ def derive_rowlists_from_cells(
         [xlo, xhi, ylo, yhi, zlo, zhi, xlo, xlo], axis=1
     )  # (n16r, 8) — one row gather fetches a whole bbox
     g = bb8[bin_rows]  # (nbins+1, brcap, 8)
-    F = 9  # fields per entry: [row id | xlo xhi ylo yhi zlo zhi | pads]
-    packed_bin = jnp.concatenate(
-        [bin_rows.astype(dtype)[:, None, :],
-         jnp.transpose(g, (0, 2, 1))],
-        axis=1,
-    ).reshape(-1, F * brcap)  # (nbins+1, 9*brcap) component-major
 
-    # z-run concat: row b covers cells b..b+ZW-1 (z is the fastest
-    # cell-index dim, so a z window is a flat-id run); pad tail with
-    # sentinel rows (id field = sent16 -> dropped at dedup regardless
-    # of the junk bbox fields)
-    pad = jnp.full((ZW, F * brcap), float(sent16), dtype)
-    br_pad = jnp.concatenate([packed_bin, pad], axis=0)
-    runs = jnp.concatenate(
-        [br_pad[i : i + packed_bin.shape[0]] for i in range(ZW)], axis=1
-    )  # (nbins+1, ZW*F*brcap)
-    # one all-sentinel run at the end: padding cell slots point here so
-    # they cost a dead read instead of refetching a real cell's runs
-    empty_cell = runs.shape[0]
-    runs = jnp.concatenate(
-        [runs, jnp.full((1, ZW * F * brcap), float(sent16), dtype)],
-        axis=0,
-    )
+    # z-run tables, ONE PER FIELD (row id + 6 bbox components): row b
+    # covers cells b..b+ZW-1 (z is the fastest cell-index dim, so a z
+    # window is a flat-id run). Field-major tables make every chunk
+    # fetch a CONTIGUOUS (chunk, reads, ZW*brcap) gather — the packed
+    # [id|bbox] row form needed a strided per-field slice of the
+    # gathered block, which Mosaic/XLA relayouts at ~80x the gather's
+    # own cost (chip-measured: 56 ms vs 0.7 ms at 131k melt shapes).
+    nb1 = bin_rows.shape[0]
 
-    # 2. per-unit DISTINCT cells (not a cell-index box: a unit that
-    # straddles a column boundary in the z-fastest flat order has a
-    # huge per-dim index span, but never more than a few distinct
-    # cells). Compact the <= 16 cell ids to ucells slots; padding
-    # slots repeat the first cell (harmless duplicates, deduped below).
+    def zrun(tbl, fill):
+        tp = jnp.concatenate(
+            [tbl, jnp.full((ZW, brcap), fill, tbl.dtype)], axis=0
+        )
+        r = jnp.concatenate(
+            [tp[i : i + nb1] for i in range(ZW)], axis=1
+        )  # (nbins+1, ZW*brcap)
+        # one all-sentinel run at the end: padding cell slots point
+        # here so they cost a dead read instead of a real cell's runs
+        return jnp.concatenate(
+            [r, jnp.full((1, ZW * brcap), fill, tbl.dtype)], axis=0
+        )
+
+    runs_id = zrun(bin_rows, sent16)
+    runs_bb = [zrun(g[:, :, c], fbig) for c in range(6)]
+    empty_cell = nb1
+
+    # 2. per-unit DISTINCT xy COLUMNS, each with ITS OWN z window.
+    # A 16-atom unit in bin-sorted (z-fastest) order can straddle a
+    # column boundary — its global z range then spans the whole box —
+    # but each of its few distinct columns has a tight atom z range.
+    # One packed (col, z)-ascending sort yields both: distinct columns
+    # at first occurrences (their own z = the column zmin) and the
+    # column zmax by a log-step backward propagation.
     bs = jnp.asarray(grid.binsize, dtype)
     b3 = jnp.floor(x[:nlocal_pad] / bs).astype(jnp.int32) + 1
     b3 = jnp.clip(b3, 0, jnp.asarray(grid.dims, jnp.int32) - 1)
-    flat = (b3[:, 0] * d1 + b3[:, 1]) * d2 + b3[:, 2]
     validu = (jnp.arange(nlocal_pad) < nlocal).reshape(nu, 16)
     big = jnp.int32(1 << 29)
-    cu16 = jnp.where(validu, flat.reshape(nu, 16), big)
-    cs = jnp.sort(cu16, axis=1)
+    flat16 = jnp.where(
+        validu,
+        ((b3[:, 0] * d1 + b3[:, 1]) * d2 + b3[:, 2]).reshape(nu, 16),
+        big,
+    )
+    fs = jnp.sort(flat16, axis=1)  # (col, z) packed ascending
+    colS = jnp.where(fs < big, fs // d2, big)
+    zS = jnp.where(fs < big, fs % d2, 0)
+    # per-slot column zmax: propagate the run's last z backward
+    zmax_run = zS
+    for k in (1, 2, 4, 8):
+        colSh = jnp.concatenate(
+            [colS[:, k:], jnp.full((nu, k), big, jnp.int32)], axis=1
+        )
+        zmh = jnp.concatenate(
+            [zmax_run[:, k:], jnp.zeros((nu, k), jnp.int32)], axis=1
+        )
+        zmax_run = jnp.where(
+            colSh == colS, jnp.maximum(zmax_run, zmh), zmax_run
+        )
     firstu = jnp.concatenate(
-        [jnp.ones((nu, 1), bool), cs[:, 1:] != cs[:, :-1]], axis=1
-    ) & (cs < big)
+        [jnp.ones((nu, 1), bool), colS[:, 1:] != colS[:, :-1]], axis=1
+    ) & (colS < big)
     n_dc = jnp.sum(firstu, axis=1).astype(jnp.int32)
-    sovf = jnp.any(n_dc > ucells)
+    sovf = jnp.any(n_dc > ucol)
+    czspan = jnp.where(firstu, zmax_run - zS, 0)
+    zovf = jnp.any(czspan + 3 > ZW)
     p16 = jnp.arange(16, dtype=jnp.int32)[None, :]
     ku = jnp.where(firstu, p16, 16 + p16)
-    k2u, v2u = jax.lax.sort((ku, cs), num_keys=1, dimension=1,
-                            is_stable=False)
-    # padding slots (and empty units) point at the all-sentinel run
+    k2u, colC, zloC = jax.lax.sort(
+        (ku, colS, zS), num_keys=1, dimension=1, is_stable=False
+    )
+    live = k2u[:, :ucol] < 16
+    dcol = jnp.where(live, colC[:, :ucol], big)  # (nu, ucol)
+    dzlo = jnp.where(live, zloC[:, :ucol], 0)
+
+    # stencil columns: each distinct column x 9 xy offsets, carrying
+    # the CONTRIBUTOR column's z window. Duplicate stencil columns
+    # (adjacent unit columns sharing a neighbor) are NOT deduped here
+    # — merging their windows would re-blow a straddling unit's span,
+    # and the row-level dedup below removes the duplicates anyway.
+    coloff = jnp.asarray(
+        [dx * d1 + dy for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
+        jnp.int32,
+    )
+    zroot = jnp.maximum(dzlo - 1, 0)  # (nu, ucol)
     dcells = jnp.where(
-        k2u[:, :ucells] < 16, v2u[:, :ucells], empty_cell
-    )  # (nu, ucells)
+        dcol[:, :, None] < big,
+        (dcol[:, :, None] + coloff[None, None, :]) * d2
+        + zroot[:, :, None],
+        empty_cell,
+    ).reshape(nu, ucol * 9)  # (nu, ucol*9) run-start flat cell ids
 
     # unit bboxes for the bbox gap test (masked over real atoms)
     xi16 = x[:nlocal_pad, 0].reshape(nu, 16)
@@ -334,15 +385,7 @@ def derive_rowlists_from_cells(
     uylo, uyhi = umm(yi16)
     uzlo, uzhi = umm(zi16)
 
-    # 3. candidate fetch: per distinct cell, the 3x3 xy stencil as
-    # z-runs (z is the fastest flat dim, so cells z-1..z+1 are one
-    # packed run read)
-    xyoff = jnp.asarray(
-        [(dx * d1 + dy) * d2 for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
-        jnp.int32,
-    )  # (9,)
-    M = ucells * 9 * ZW
-    Wc = M * brcap
+    Wc = ucol * 9 * ZW * brcap
     cutsq = cutneigh * cutneigh
 
     while nu % chunk != 0 and chunk > 1:
@@ -351,16 +394,18 @@ def derive_rowlists_from_cells(
 
     def chunk_fn(u0):
         us = u0 + jnp.arange(chunk, dtype=jnp.int32)
-        dcs = dcells[us]  # (chunk, ucells)
-        base = dcs[:, :, None] + xyoff[None, None, :] - 1  # run starts
-        base = jnp.where(dcs[:, :, None] == empty_cell, empty_cell, base)
-        base = jnp.clip(base, 0, empty_cell)
-        got = runs[base].reshape(chunk, M, F, brcap)
+        base = jnp.clip(dcells[us], 0, empty_cell)  # (chunk, ucol*9)
+        # a run rooted near the top of a column may bleed into the
+        # next column's low-z cells: correctness-safe (the exact prune
+        # is the authority; dedup removes duplicates), just a few dead
+        # candidate lanes
 
-        def fld(f):
-            return got[:, :, f, :].reshape(chunk, Wc)
+        def fld(tbl):
+            return tbl[base].reshape(chunk, Wc)
 
-        ids = fld(0).astype(jnp.int32)
+        ids = fld(runs_id)
+        if _probe_stage == "fetch":
+            return ids, jnp.sum(ids, axis=1)
 
         # bbox gap test vs the unit bbox (same prune the cluster
         # scheme's pair search runs, build_cluster_pairs): drops
@@ -371,15 +416,19 @@ def derive_rowlists_from_cells(
                 jnp.maximum(lo_i[us][:, None] - hi_j, lo_j - hi_i[us][:, None]),
             )
 
-        dxg = gap(uxlo, uxhi, fld(1), fld(2))
-        dyg = gap(uylo, uyhi, fld(3), fld(4))
-        dzg = gap(uzlo, uzhi, fld(5), fld(6))
+        dxg = gap(uxlo, uxhi, fld(runs_bb[0]), fld(runs_bb[1]))
+        dyg = gap(uylo, uyhi, fld(runs_bb[2]), fld(runs_bb[3]))
+        dzg = gap(uzlo, uzhi, fld(runs_bb[4]), fld(runs_bb[5]))
         dsq = dxg * dxg + dyg * dyg + dzg * dzg
         cand = jnp.where(dsq <= cutsq, ids, sent16)
+        if _probe_stage == "gap":
+            return cand, jnp.sum(cand, axis=1)
 
         # 4. dedup: ascending sort puts copies adjacent and sentinel
         # last; compact first occurrences via packed-key sort
         s = jnp.sort(cand, axis=1)
+        if _probe_stage == "sort1":
+            return s, jnp.sum(s, axis=1)
         first = jnp.concatenate(
             [jnp.ones((chunk, 1), bool), s[:, 1:] != s[:, :-1]], axis=1
         ) & (s != sent16)
@@ -392,9 +441,14 @@ def derive_rowlists_from_cells(
         return cand_c, nc
 
     starts = jnp.arange(0, nu, chunk, dtype=jnp.int32)
+    if _probe_stage == "binrows":
+        return runs_id, runs_id[:1, 0], jnp.zeros((4,), jnp.int32), \
+            jnp.asarray(False)
     cands, ncs = jax.lax.map(chunk_fn, starts)
     cand = cands.reshape(nu, -1)
     covf = jnp.any(ncs.reshape(-1) > cand.shape[1])
+    if _probe_stage == "cand":
+        return cand, ncs.reshape(-1), jnp.zeros((4,), jnp.int32), covf
 
     # 5. exact prune + compaction (same pattern as cluster
     # derive_ilists): one packed 48-wide row gather, min over unit
@@ -454,8 +508,14 @@ def derive_rowlists_from_cells(
     outs, nrs = jax.lax.map(prune_fn, starts)
     rows_out = outs.reshape(nu, rcap)
     numrows = nrs.reshape(nu)
-    overflow = bovf | sovf | covf | jnp.any(numrows > rcap)
-    return rows_out, numrows, jnp.max(ncs), overflow
+    overflow = (
+        bovf | sovf | zovf | covf | jnp.any(numrows > rcap)
+    )
+    stats = jnp.stack([
+        jnp.max(ncs).astype(jnp.int32), jnp.max(n_dc),
+        jnp.max(czspan).astype(jnp.int32), jnp.max(cntc),
+    ])
+    return rows_out, numrows, stats, overflow
 
 
 def compute_force_lj_rowlist(

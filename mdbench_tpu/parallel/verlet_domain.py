@@ -190,6 +190,7 @@ class DomainSimulation:
             else "xla"
         )
         self.rcap, self.ccap, self.ucl, self.ubr = 64, 128, 6, 8
+        self.zw = 5  # z-run width (unit-column zspan + 2, + drift)
         self._fix_row_layout()
 
         # slab-local cell grid (same static geometry on every device)
@@ -410,7 +411,7 @@ class DomainSimulation:
 
             rows, numrows, _nc, rovf = derive_rowlists_from_cells(
                 self.grid, cl, x, nloc, self.acap, self.rcap,
-                self.params.cutneigh, brcap=self.ubr, ucells=self.ucl,
+                self.params.cutneigh, brcap=self.ubr, ucol=self.ucl, zw=self.zw,
                 ccap=self.ccap,
             )
             # rows/numrows ride the neighbors/numneigh carry slots
@@ -588,6 +589,7 @@ class DomainSimulation:
         self.rcap = int(self.rcap * 1.6 + 7) // 8 * 8
         self.ccap = int(self.ccap * 1.5 + 7) // 8 * 8
         self.ucl += 2
+        self.zw += 1
         self.ubr += 8
         self._fix_row_layout()
         self.grid = self.grid._replace(

@@ -135,6 +135,7 @@ class Domain2DSimulation:
             else "xla"
         )
         self.rcap, self.ccap, self.ucl, self.ubr = 64, 128, 6, 8
+        self.zw = 5  # z-run width (unit-column zspan + 2, + drift)
         self._fix_row_layout()
         # bin capacity: 2.5x the mean — FCC lattice planes alias against
         # the bin boundaries, so some bins run well above the mean and the
@@ -373,7 +374,7 @@ class Domain2DSimulation:
 
             rows, numrows, _nc, rovf = derive_rowlists_from_cells(
                 self.grid, cl, x, nloc, self.acap, self.rcap,
-                self.params.cutneigh, brcap=self.ubr, ucells=self.ucl,
+                self.params.cutneigh, brcap=self.ubr, ucol=self.ucl, zw=self.zw,
                 ccap=self.ccap,
             )
             nlist = NeighborList(
@@ -551,6 +552,7 @@ class Domain2DSimulation:
         self.rcap = int(self.rcap * 1.6 + 7) // 8 * 8
         self.ccap = int(self.ccap * 1.5 + 7) // 8 * 8
         self.ucl += 2
+        self.zw += 1
         self.ubr += 8
         self._fix_row_layout()
         self.grid = self.grid._replace(

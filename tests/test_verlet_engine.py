@@ -190,7 +190,7 @@ def test_direct_rowlists_match_per_atom_union():
     )
     rows_b, num_b, _nc, ovf_b = derive_rowlists_from_cells(
         sim.grid, cl, x, sim.nlocal, caps.nlocal_pad, rcap,
-        p.cutneigh, brcap=24, ucells=8, ccap=256,
+        p.cutneigh, brcap=24, ucol=8, zw=8, ccap=256,
     )
     assert not bool(ovf_a) and not bool(ovf_b)
     # all-padding units differ benignly: the per-atom oracle lists the

@@ -106,7 +106,7 @@ def run_variant(name, overrides, probe_phases=True):
             rows, numrows, _nc, _o = derive_rowlists_from_cells(
                 sim.grid, cl0, x, sim.nlocal, caps.nlocal_pad,
                 sim.rcap, pp.cutneigh, brcap=sim.ubr,
-                ucells=sim.ucl, ccap=sim.ccap,
+                ucol=sim.ucl, zw=sim.zw, ccap=sim.ccap,
             )
             return x[: numrows.shape[0], 0] + numrows.astype(x.dtype)
 
@@ -116,7 +116,7 @@ def run_variant(name, overrides, probe_phases=True):
         )
         rows, numrows, _nc, _ = derive_rowlists_from_cells(
             sim.grid, cl0, st.x, sim.nlocal, caps.nlocal_pad,
-            sim.rcap, pp.cutneigh, brcap=sim.ubr, ucells=sim.ucl,
+            sim.rcap, pp.cutneigh, brcap=sim.ubr, ucol=sim.ucl, zw=sim.zw,
             ccap=sim.ccap,
         )
         nrh = np.asarray(numrows)

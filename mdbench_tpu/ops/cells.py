@@ -123,22 +123,29 @@ def build_cells(grid: CellGrid, x: jnp.ndarray) -> CellList:
     else:
         order = jnp.argsort(ids)  # stable
         sorted_ids = ids[order]
-    starts = jnp.searchsorted(sorted_ids, jnp.arange(grid.nbins + 1, dtype=ids.dtype))
-    rank = jnp.arange(nrows, dtype=jnp.int32) - starts[sorted_ids].astype(jnp.int32)
+    starts = jnp.searchsorted(
+        sorted_ids, jnp.arange(grid.nbins + 2, dtype=ids.dtype)
+    ).astype(jnp.int32)
 
-    valid = sorted_ids < grid.nbins
-    in_cap = rank < grid.capacity
-    overflow = jnp.any(valid & ~in_cap)
-
-    flat_pos = jnp.where(
-        valid & in_cap,
-        sorted_ids.astype(jnp.int32) * grid.capacity + rank,
-        (grid.nbins + 1) * grid.capacity,  # dropped
+    # Gather-form table build (NOT a scatter: the old
+    # cells.at[flat_pos].set(order) ran at the measured ~0.14 G elts/s
+    # scatter rate — ~2.5 ms of the 4.5 ms build_cells at 131k). After
+    # the sort, bin b's atoms are order[starts[b] : starts[b+1]], so
+    # slot (b, r) is a pure GATHER of order at starts[b] + r, masked by
+    # the per-bin count — one (nbins+1, capacity) element gather.
+    counts = starts[1:] - starts[:-1]  # (nbins + 1,)
+    overflow = jnp.any(counts[: grid.nbins] > grid.capacity)
+    slot = jnp.arange(grid.capacity, dtype=jnp.int32)
+    pos = starts[:-1, None] + slot[None, :]  # (nbins + 1, capacity)
+    live = slot[None, :] < counts[:, None]
+    live = live & (jnp.arange(grid.nbins + 1)[:, None] < grid.nbins)
+    cells = jnp.where(
+        live,
+        order.astype(jnp.int32)[jnp.minimum(pos, nrows - 1)],
+        sentinel_row,
     )
-    cells = jnp.full(((grid.nbins + 1) * grid.capacity,), sentinel_row, jnp.int32)
-    cells = cells.at[flat_pos].set(order.astype(jnp.int32), mode="drop")
     return CellList(
-        cells=cells.reshape(grid.nbins + 1, grid.capacity),
+        cells=cells,
         bin_of=ids.astype(jnp.int32),
         overflow=overflow,
     )

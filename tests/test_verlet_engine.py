@@ -253,3 +253,34 @@ def test_rowlist_bucketed_force_matches_flat():
     np.testing.assert_allclose(
         np.asarray(f_b), np.asarray(f_flat), rtol=1e-6, atol=1e-6
     )
+
+
+def test_cell_table_matches_sequential_oracle():
+    """build_cells' gather-form table == the reference's sequential
+    binatoms fill (neighbor.c:329-358): bin b holds its atoms in row
+    order, tail slots hold the sentinel row, overflow flags exactly
+    when some interior bin exceeds capacity."""
+    from mdbench_tpu.ops.cells import build_cells, coord_to_bin, make_cell_grid
+
+    rng = np.random.default_rng(7)
+    prd = (10.0, 8.0, 9.0)
+    grid = make_cell_grid(prd, 2.8, rho=0.8, capacity=16)
+    n = 700
+    x = rng.uniform(-2.8, np.array(prd) + 2.8, size=(n, 3)).astype(np.float32)
+    x[-1] = 1e30  # sentinel/padding row
+    cl = jax.jit(lambda x: build_cells(grid, x))(jnp.asarray(x))
+    ids = np.asarray(coord_to_bin(grid, jnp.asarray(x)))
+    cells = np.asarray(cl.cells)
+    assert not bool(cl.overflow)
+    for b in range(grid.nbins):
+        expect = np.flatnonzero(ids == b)
+        got = cells[b][cells[b] != n - 1]
+        np.testing.assert_array_equal(got, expect[: grid.capacity])
+        assert np.all(cells[b][len(expect):] == n - 1)
+    assert np.all(cells[grid.nbins] == n - 1)  # trap bin stays empty
+
+    # overflow: jam many atoms into one bin
+    x2 = np.full((64, 3), 1.0, np.float32)
+    grid2 = make_cell_grid(prd, 2.8, rho=0.8, capacity=8)
+    cl2 = jax.jit(lambda x: build_cells(grid2, x))(jnp.asarray(x2))
+    assert bool(cl2.overflow)

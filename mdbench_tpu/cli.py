@@ -51,6 +51,10 @@ HELP = """MD Bench (TPU): A performance-oriented prototyping harness for MD algo
 --profile <logdir>:         capture a jax.profiler device trace of the run
                             (LIKWID/xprof analogue; named force/reneighbor
                             scopes appear as spans)
+--checkpoint <file>:        save the final state (positions+velocities+
+                            types+step) as a binary npz checkpoint
+--restore <file>:           resume from a checkpoint written by
+                            --checkpoint (runs -n further steps)
 """
 
 
@@ -116,6 +120,10 @@ def parse_args(argv) -> Params:
             p.profile_dir = nxt()
         elif a == "--timers":
             p.timers = nxt()
+        elif a == "--checkpoint":
+            p.checkpoint_file = nxt()
+        elif a == "--restore":
+            p.restore_file = nxt()
         elif a in ("-h", "--help"):
             print(HELP)
             sys.exit(0)
@@ -152,7 +160,23 @@ def main(argv=None) -> int:
     else:
         from mdbench_tpu.engine import Simulation as Engine
 
-    sim = Engine(params)
+    step0 = 0
+    if params.restore_file:
+        # resume from a binary checkpoint (exceeds the reference's -w
+        # .in round-trip): restored states are never thermo-adjusted
+        from mdbench_tpu.io.checkpoint import load_checkpoint
+
+        rx, rv, rtypes, meta = load_checkpoint(params.restore_file)
+        step0 = int(meta.get("step", 0))
+        sim = Engine(
+            params, x=np.asarray(rx), v=np.asarray(rv),
+            types=(np.asarray(rtypes) if rtypes is not None else None),
+            adjust=False,
+        )
+        print("restored %d atoms at step %d from %s"
+              % (sim.natoms, step0, params.restore_file))
+    else:
+        sim = Engine(params)
     print(print_parameters(params))
     sys.stdout.write(HLINE)
     print("step\ttemp\t\tpressure")
@@ -393,6 +417,14 @@ def main(argv=None) -> int:
                 params.proc_freq, float_size,
             )
         )
+
+    if params.checkpoint_file:
+        from mdbench_tpu.io.checkpoint import save_checkpoint
+
+        save_checkpoint(
+            params.checkpoint_file, sim, out.state, step0 + params.ntimes
+        )
+        print("checkpoint ->", params.checkpoint_file)
 
     # (trajectory runs already wrote every frame incl. the final one in
     # the chunked loop above — nothing left to emit here)

@@ -143,6 +143,12 @@ class Params:
     trace_index: str = ""
     trace_mem: str = ""
     profile_dir: str = ""
+    # Binary checkpoint/resume (io/checkpoint; exceeds the reference,
+    # whose closest facility is the -w restartable .in file, SURVEY
+    # §5.4): save final state to checkpoint_file; restore_file resumes
+    # a run from a saved state (positions+velocities+types)
+    checkpoint_file: str = ""
+    restore_file: str = ""
 
     # Capacity knobs (padded fixed shapes; auto-grown on overflow)
     maxneighs: int = 100  # reference: neighbor.c:59

@@ -763,6 +763,24 @@ class Simulation:
             )
         self._build_device_state()
 
+    def _restart_from(self, xb, vb, tb, failed_state=None,
+                      max_retries: int = 3) -> "StepState":
+        """Grow capacities and rebuild a runnable state from host
+        snapshots of the local atoms (a chunk-boundary restart point).
+        The restart point becomes the engine's new t=0 arrays, so
+        initial_state() re-derives ghosts/lists/forces under the grown
+        capacities — deterministically identical physics (lists are a
+        pure function of positions; extra padding adds exact zeros)."""
+        self._x0, self._v0, self._types0 = xb, vb, tb
+        self._grow_caps(failed_state)
+        for _ in range(max_retries + 1):
+            state = self.initial_state()
+            jax.block_until_ready(state)
+            if not bool(np.any(np.asarray(state.overflow))):
+                return state
+            self._grow_caps()
+        raise RuntimeError("capacity overflow persisted in restart")
+
     def run_chunked(self, chunk: int, nchunks: int, callback,
                     max_retries: int = 3, tail: int = 0):
         """Run in host-visible chunks for trajectory output: the fused
@@ -772,9 +790,12 @@ class Simulation:
         chunks, e.g. chunk = x_out_every).
 
         Same capacity protocol as run(): rcap calibration before the
-        timed region, and overflow-flag checks (a truncated neighbor
-        row must grow-and-retry, never write a silently-wrong
-        trajectory)."""
+        timed region, and overflow-flag checks. A mid-run overflow never
+        aborts (the reference's in-loop resize loop never does either,
+        neighbor.c:247-262): the failed chunk's output is discarded, the
+        capacities grow, the state rebuilds from the last good chunk
+        boundary, and the chunk REPLAYS — the written trajectory equals
+        an uninterrupted run's."""
         for _ in range(max_retries + 1):
             state = self.initial_state()
             jax.block_until_ready(state)
@@ -799,27 +820,52 @@ class Simulation:
         )
         temps_all, press_all = [], []
         t0 = time.perf_counter()
-        for c in range(nchunks):
+        retries = 0
+        c = 0
+        while c < nchunks:
+            # boundary snapshot (local atoms only) BEFORE the chunk: the
+            # chunk call donates the state buffers, and a failed chunk's
+            # output state is truncated garbage
+            xb = np.asarray(state.x[: self.nlocal])
+            vb = np.asarray(state.v[: self.nlocal])
+            tb = np.asarray(state.types[: self.nlocal])
             state, (temps, press) = compiled(state, jnp.zeros((0,)))
             if bool(np.any(np.asarray(state.overflow))):
-                raise RuntimeError(
-                    f"capacity overflow during chunk {c} — rerun with "
-                    "grown capacities (run() recovers automatically; "
-                    "chunked output cannot resume mid-trajectory)"
+                retries += 1
+                if retries > max_retries:
+                    raise RuntimeError(
+                        "capacity overflow persisted in run_chunked"
+                    )
+                state = self._restart_from(xb, vb, tb, state)
+                compiled = (
+                    self._make_run_fn(chunk)
+                    .lower(state, jnp.zeros((0,))).compile()
                 )
+                continue  # replay chunk c from the boundary state
             callback(state, (c + 1) * chunk)
             temps_all.append(np.asarray(temps))
             press_all.append(np.asarray(press))
+            c += 1
         if tail:
             # remainder steps so nchunks*chunk + tail == ntimes exactly
             # (the reference loop runs precisely -n steps)
-            compiled_t = (
-                self._make_run_fn(tail).lower(state, jnp.zeros((0,)))
-                .compile()
-            )
-            state, (temps, press) = compiled_t(state, jnp.zeros((0,)))
-            if bool(np.any(np.asarray(state.overflow))):
-                raise RuntimeError("capacity overflow in the tail chunk")
+            while True:
+                xb = np.asarray(state.x[: self.nlocal])
+                vb = np.asarray(state.v[: self.nlocal])
+                tb = np.asarray(state.types[: self.nlocal])
+                compiled_t = (
+                    self._make_run_fn(tail).lower(state, jnp.zeros((0,)))
+                    .compile()
+                )
+                state, (temps, press) = compiled_t(state, jnp.zeros((0,)))
+                if not bool(np.any(np.asarray(state.overflow))):
+                    break
+                retries += 1
+                if retries > max_retries:
+                    raise RuntimeError(
+                        "capacity overflow persisted in the tail chunk"
+                    )
+                state = self._restart_from(xb, vb, tb, state)
             callback(state, nchunks * chunk + tail)
             temps_all.append(np.asarray(temps))
             press_all.append(np.asarray(press))

@@ -492,9 +492,15 @@ class ClusterSimulation:
         share = self.ishare
         sizes, caps = self.buckets
         xc, yc, zc = clusters.xc, clusters.yc, clusters.zc
-        xiP = xc[pairs.bcrows]
-        yiP = yc[pairs.bcrows]
-        ziP = zc[pairs.bcrows]
+        # PACKED permutation gathers: row gathers are ISSUE-bound and
+        # narrow 8-wide rows gather poorly (r4 probe: three (npad, 8)
+        # binv gathers measured 0.50 ms/step; one 24-wide packed gather
+        # is ~5x cheaper) — same lesson as gather_ilist_rows, applied to
+        # the bucket permutation on BOTH ends of the force
+        xiP3 = jnp.concatenate([xc, yc, zc], axis=1)[pairs.bcrows]
+        xiP = xiP3[:, 0:8]
+        yiP = xiP3[:, 8:16]
+        ziP = xiP3[:, 16:24]
         fxs, fys, fzs = [], [], []
         off = 0
         for n_k, c_k in zip(sizes, caps):
@@ -519,10 +525,12 @@ class ClusterSimulation:
             fzs.append(fzk)
             off += n_k
         inv = pairs.binv
-        fx = jnp.concatenate(fxs, axis=0)[inv]
-        fy = jnp.concatenate(fys, axis=0)[inv]
-        fz = jnp.concatenate(fzs, axis=0)[inv]
-        return fx, fy, fz
+        f3 = jnp.concatenate(
+            [jnp.concatenate(fxs, axis=0), jnp.concatenate(fys, axis=0),
+             jnp.concatenate(fzs, axis=0)],
+            axis=1,
+        )[inv]
+        return f3[:, 0:8], f3[:, 8:16], f3[:, 16:24]
 
     # -- stepping ----------------------------------------------------------
 
@@ -946,6 +954,25 @@ class ClusterSimulation:
             self._grow(flags)
         raise RuntimeError("cluster capacity overflow persisted")
 
+    def _restart_from_flat(self, xb, vb, flags=None,
+                           max_retries: int = 5) -> "CStepState":
+        """Grow capacities and rebuild a runnable state from host
+        snapshots of the FLAT atom arrays (a chunk-boundary restart
+        point, original atom-id order via _flatten). The restart point
+        becomes the engine's new t=0 arrays; re-clustering from the same
+        positions under grown caps reproduces the same physics (lists
+        are a pure function of positions, padding adds exact zeros)."""
+        self._x0 = np.asarray(xb[: self.nlocal])
+        self._v0 = np.asarray(vb[: self.nlocal])
+        self._grow(flags)
+        for _ in range(max_retries + 1):
+            state = self.initial_state()
+            jax.block_until_ready(state)
+            if not bool(np.any(np.asarray(state.overflow))):
+                return state
+            self._grow(np.asarray(state.overflow))
+        raise RuntimeError("cluster capacity overflow persisted in restart")
+
     def run_chunked(self, chunk: int, nchunks: int, callback,
                     max_retries: int = 5, tail: int = 0):
         """Run in host-visible chunks for trajectory output (the
@@ -953,8 +980,11 @@ class ClusterSimulation:
         clusterpair loop writes VTK/XTC per x_out_every step,
         clusterpair/main.c). callback(state, step) runs on host between
         chunks; nchunks*chunk + tail == the exact step count. Same
-        capacity protocol as run(): calibrate, grow-and-retry at setup,
-        refuse to continue past a mid-run overflow."""
+        capacity protocol as run(): calibrate, grow-and-retry at setup;
+        a mid-run overflow discards the failed chunk's output, grows
+        capacities, rebuilds from the last good chunk boundary, and
+        REPLAYS the chunk (never aborts — reference neighbor.c resize
+        semantics)."""
         calibrated = False
         for _ in range(max_retries + 1):
             state = self.initial_state()
@@ -974,23 +1004,48 @@ class ClusterSimulation:
             self._make_run_fn(chunk).lower(state).compile()
             if nchunks > 0 else None
         )
+        flatten = jax.jit(self._flatten)
         temps_all, press_all = [], []
         t0 = time.perf_counter()
-        for c in range(nchunks):
+        retries = 0
+        c = 0
+        while c < nchunks:
+            # boundary snapshot BEFORE the chunk (the chunk call donates
+            # the state; a failed chunk's output state is truncated)
+            xb, vb = flatten(state)
+            xb, vb = np.asarray(xb), np.asarray(vb)
             state, (temps, press) = compiled(state)
             if bool(np.any(np.asarray(state.overflow))):
-                raise RuntimeError(
-                    f"cluster capacity overflow during chunk {c} — "
-                    "chunked output cannot resume mid-trajectory"
+                retries += 1
+                if retries > max_retries:
+                    raise RuntimeError(
+                        "cluster capacity overflow persisted in run_chunked"
+                    )
+                state = self._restart_from_flat(
+                    xb, vb, np.asarray(state.overflow)
                 )
+                compiled = self._make_run_fn(chunk).lower(state).compile()
+                continue  # replay chunk c from the boundary state
             callback(state, (c + 1) * chunk)
             temps_all.append(np.asarray(temps))
             press_all.append(np.asarray(press))
+            c += 1
         if tail:
-            compiled_t = self._make_run_fn(tail).lower(state).compile()
-            state, (temps, press) = compiled_t(state)
-            if bool(np.any(np.asarray(state.overflow))):
-                raise RuntimeError("cluster overflow in the tail chunk")
+            while True:
+                xb, vb = flatten(state)
+                xb, vb = np.asarray(xb), np.asarray(vb)
+                compiled_t = self._make_run_fn(tail).lower(state).compile()
+                state, (temps, press) = compiled_t(state)
+                if not bool(np.any(np.asarray(state.overflow))):
+                    break
+                retries += 1
+                if retries > max_retries:
+                    raise RuntimeError(
+                        "cluster overflow persisted in the tail chunk"
+                    )
+                state = self._restart_from_flat(
+                    xb, vb, np.asarray(state.overflow)
+                )
             callback(state, nchunks * chunk + tail)
             temps_all.append(np.asarray(temps))
             press_all.append(np.asarray(press))

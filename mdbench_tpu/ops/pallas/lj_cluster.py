@@ -500,16 +500,37 @@ def _kernel_ilist(
             dz = zi - zj
             rsq = dx * dx + dy * dy + dz * dz
             mask = (rsq < cutsq) & (rsq > 0.0)
-            rs = jnp.where(mask, rsq, 1.0)
-            if approx_rcp:
-                # VPU approx reciprocal + one Newton step: ~1 ulp in
-                # f32 at 3 cheap ops vs the multi-op exact divide
-                r0a = pl.reciprocal(rs, approx=True)
-                sr2 = r0a * (2.0 - rs * r0a)
+            if tables is None:
+                # scalar-constant fast form: no rs select (rsq==0 pads
+                # produce inf/nan that the final masked select discards
+                # — jnp.where never propagates the dead branch), and
+                # 48*eps*sig6 folds into two trace-time constants:
+                # gf = t*sr2*(A*t - B), t = sr2^3 — 2 fewer VPU ops per
+                # pair tile than the literal reference expression
+                # (force_lj.c:74-79), bit-identical for unmasked lanes
+                # up to fma contraction
+                if approx_rcp:
+                    r0a = pl.reciprocal(rsq, approx=True)
+                    sr2 = r0a * (2.0 - rsq * r0a)
+                else:
+                    sr2 = 1.0 / rsq
+                t = sr2 * sr2 * sr2
+                A = 48.0 * eps * sig6 * sig6
+                B = 24.0 * eps * sig6
+                gf = jnp.where(mask, t * sr2 * (A * t - B), 0.0)
             else:
-                sr2 = 1.0 / rs
-            sr6 = sr2 * sr2 * sr2 * sig6
-            gf = jnp.where(mask, 48.0 * eps * sr6 * (sr6 - 0.5) * sr2, 0.0)
+                rs = jnp.where(mask, rsq, 1.0)
+                if approx_rcp:
+                    # VPU approx reciprocal + one Newton step: ~1 ulp in
+                    # f32 at 3 cheap ops vs the multi-op exact divide
+                    r0a = pl.reciprocal(rs, approx=True)
+                    sr2 = r0a * (2.0 - rs * r0a)
+                else:
+                    sr2 = 1.0 / rs
+                sr6 = sr2 * sr2 * sr2 * sig6
+                gf = jnp.where(
+                    mask, 48.0 * eps * sr6 * (sr6 - 0.5) * sr2, 0.0
+                )
             px = dx * gf
             py = dy * gf
             pz = dz * gf

@@ -27,6 +27,7 @@ def test_stub_patterns():
     assert (create_neighbors(n, "seq", nn, 1)[0][5, 0]) == 6
 
 
+@pytest.mark.slow  # engine compile on 1-vCPU CI
 def test_stub_runs(capsys):
     r = run_stub(natoms=512, nneighs=16, ntimes=5, csv=True)
     assert r["mega_updates"] > 0
@@ -34,6 +35,7 @@ def test_stub_runs(capsys):
     assert "steps,pattern" in out
 
 
+@pytest.mark.slow  # engine compile on 1-vCPU CI
 def test_stub_eam_runs():
     """-f eam stub axis (reference main-stub.c:129,200,269): the
     two-pass EAM kernel over synthetic lists, cutforce = table cutoff."""
@@ -45,6 +47,7 @@ def test_stub_eam_runs():
     assert r["force_field"] == "eam"
 
 
+@pytest.mark.slow  # engine compile on 1-vCPU CI
 def test_checkpoint_roundtrip(tmp_path):
     p = Params(nx=3, ny=3, nz=3, ntimes=10, reneigh_every=5)
     sim = Simulation(p)
@@ -63,6 +66,7 @@ def test_checkpoint_roundtrip(tmp_path):
     assert abs(out2.temps[0] - out.temps[-1]) < 0.2
 
 
+@pytest.mark.slow  # engine compile on 1-vCPU CI
 def test_cluster_stub_runs():
     """Cluster-scheme synthetic-list microbenchmark (reference
     clusterpair/main-stub.c analogue)."""
@@ -73,6 +77,7 @@ def test_cluster_stub_runs():
     assert r["scheme"] == "cluster"
 
 
+@pytest.mark.slow  # engine compile on 1-vCPU CI
 def test_cluster_vtk_four_files(tmp_path):
     """The clusterpair 4-file VTK dump writes all four files with
     parseable headers."""
@@ -93,6 +98,7 @@ def test_cluster_vtk_four_files(tmp_path):
         assert head.startswith("# vtk DataFile"), f
 
 
+@pytest.mark.slow  # engine compile on 1-vCPU CI
 def test_cluster_run_chunked_trajectory(tmp_path):
     """Cluster-scheme in-loop trajectory output: run_chunked covers
     exactly ntimes steps for a non-dividing cadence and the callback
@@ -224,3 +230,55 @@ def test_xtc_writer_dispatch_by_extension(tmp_path):
     xtc_write(w, x, step=0, time=0.0)
     xtc_end(w)
     np.testing.assert_allclose(read_xtc(w.path)[0]["x"], x, atol=6e-4)
+
+
+@pytest.mark.slow
+def test_run_chunked_overflow_recovery():
+    """Mid-trajectory capacity overflow must grow-and-REPLAY the failed
+    chunk from the last good boundary, producing the trajectory an
+    uninterrupted run writes (VERDICT r3 item 6; reference anchor: the
+    in-loop resize loop never aborts, verletlist/neighbor.c:247-262)."""
+    mk = lambda: Params(nx=8, ny=4, nz=4, ntimes=30, reneigh_every=10,
+                        kernel="rowlist")
+    oracle = Simulation(mk()).run()
+
+    sim = Simulation(mk())
+    st0 = sim.initial_state()
+    nrmax = int(np.asarray(st0.nlist.numrows).max())
+    # pin rcap at the cold-lattice maximum: fits t=0, overflows once the
+    # melt widens the row unions at a later rebuild
+    sim._rcap_calibrated = True
+    sim._melt_calibrated = True
+    sim.rcap = (nrmax + 7) // 8 * 8
+    rcap0 = sim.rcap
+    sim._build_device_state()
+    steps = []
+    out = sim.run_chunked(10, 3, lambda s, step: steps.append(step))
+    assert sim.rcap > rcap0, "recovery never fired: overflow not forced"
+    assert steps == [0, 10, 20, 30]
+    np.testing.assert_allclose(out.temps, oracle.temps, rtol=1e-9,
+                               atol=1e-12)
+
+
+@pytest.mark.slow
+def test_cluster_run_chunked_overflow_recovery():
+    """Cluster-engine twin of the chunked overflow recovery: pin icap at
+    the cold-lattice nji maximum, force a mid-run ilist overflow, assert
+    the recovered trajectory equals the uninterrupted run's."""
+    from mdbench_tpu.engine_cluster import ClusterSimulation
+
+    # temp 6x the default: the hot melt inflates the per-unit nji past
+    # the cold-lattice maximum within a couple of rebuilds
+    mk = lambda: Params(nx=8, ny=4, nz=4, ntimes=30, reneigh_every=10,
+                        kernel="ilist", temp=9.0)
+    oracle = ClusterSimulation(mk()).run()
+
+    sim = ClusterSimulation(mk())
+    st0 = sim.initial_state()
+    need = int(np.asarray(st0.pairs.nji).max())
+    sim.icap = need  # exact cold fit — melt growth overflows it
+    icap0 = sim.icap
+    out = sim.run_chunked(10, 3, lambda s, step: None)
+    assert sim.icap > icap0, "recovery never fired: overflow not forced"
+    np.testing.assert_allclose(out.temps, oracle.temps, rtol=1e-9,
+                               atol=1e-12)

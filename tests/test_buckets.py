@@ -3,10 +3,12 @@ attach_bucket_maps): force parity with the flat-capacity paths in
 interpret mode, and overflow detection when a cap is too small."""
 
 import numpy as np
+import pytest
 
 from mdbench_tpu.config import Params
 from mdbench_tpu.engine_cluster import ClusterSimulation
 
+pytestmark = pytest.mark.slow  # engine-level: minutes of XLA:CPU compile on 1 vCPU
 
 def _bucketed_sim(nx=8, cap_a_slack=6, **kw):
     p = Params(precision="sp", kernel="ilist_pl", nx=nx, ny=nx, nz=nx,

@@ -101,3 +101,44 @@ def test_cli_timers_diff_mode():
     )
     assert res.returncode == 0, res.stderr
     assert "FORCE" in res.stdout and "NEIGH" in res.stdout
+
+
+@pytest.mark.slow
+def test_cli_checkpoint_restore_roundtrip(tmp_path):
+    """--checkpoint writes the final state; --restore resumes from it.
+    A 10-step run checkpointed then restored for 10 more steps must end
+    at the same thermo as one uninterrupted 20-step run (restored
+    states are never thermo-re-adjusted)."""
+    ck = str(tmp_path / "state.npz")
+    base = "'-nx','3','-ny','3','-nz','3','--precision','sp'"
+    run = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import sys; from mdbench_tpu.cli import main;"
+        "sys.exit(main([{}]))"
+    )
+    r1 = subprocess.run(
+        [sys.executable, "-c",
+         run.format(base + ",'-n','10','--checkpoint','%s'" % ck)],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r1.returncode == 0, r1.stderr
+    assert "checkpoint ->" in r1.stdout
+    r2 = subprocess.run(
+        [sys.executable, "-c",
+         run.format(base + ",'-n','10','--restore','%s'" % ck)],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r2.returncode == 0, r2.stderr
+    assert "restored 108 atoms at step 10" in r2.stdout
+    r3 = subprocess.run(
+        [sys.executable, "-c", run.format(base + ",'-n','20'")],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r3.returncode == 0, r3.stderr
+
+    def final_temp(out):
+        rows = [l for l in out.splitlines()
+                if l and l[0].isdigit() and "\t" in l]
+        return float(rows[-1].split("\t")[1])
+
+    assert abs(final_temp(r2.stdout) - final_temp(r3.stdout)) < 1e-6

@@ -10,6 +10,7 @@ from mdbench_tpu.engine_cluster import ClusterSimulation
 from mdbench_tpu.models.lattice import create_fcc_lattice
 from mdbench_tpu.ops.dense import lj_force_dense
 
+pytestmark = pytest.mark.slow  # engine-level: minutes of XLA:CPU compile on 1 vCPU
 
 def test_cluster_first_force_matches_dense():
     p = Params(nx=4, ny=4, nz=4, kernel="xla")

@@ -13,6 +13,7 @@ from mdbench_tpu.config import Params
 from mdbench_tpu.engine_cluster import GROUP, ClusterSimulation
 from mdbench_tpu.ops.cluster import derive_ilists
 
+pytestmark = pytest.mark.slow  # engine-level: minutes of XLA:CPU compile on 1 vCPU
 
 def _lists(sim, state, bf16):
     pairs = derive_ilists(

@@ -22,6 +22,7 @@ def test_funcfl_header_and_tables():
     assert np.isfinite(t.z2r_spline[1:]).all()
 
 
+@pytest.mark.slow  # engine compile on 1-vCPU CI
 def test_eam_first_force_matches_scalar_oracle():
     p = Params(nx=3, ny=3, nz=3, force_field=FF_EAM, eam_file=EAM_FILE)
     sim = Simulation(p)

@@ -12,6 +12,8 @@ from mdbench_tpu.config import FF_EAM, Params
 from mdbench_tpu.engine import Simulation
 from mdbench_tpu.engine_cluster import ClusterSimulation
 
+pytestmark = pytest.mark.slow  # engine-level: minutes of XLA:CPU compile on 1 vCPU
+
 EAM_FILE = "/root/reference/data/Cu_u3.eam"
 KW = dict(nx=3, ny=3, nz=3, force_field=FF_EAM, eam_file=EAM_FILE,
           ntimes=10, reneigh_every=5)

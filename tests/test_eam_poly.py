@@ -48,6 +48,7 @@ def test_poly_fit_accuracy(eam_file):
         assert err < 2e-4, (name, err)
 
 
+@pytest.mark.slow  # engine compile on 1-vCPU CI
 def test_poly_first_force_matches_spline_path():
     """Forces from the poly path agree with the spline path to the fit
     tolerance on the SAME (perturbed) positions. A perfect FCC lattice

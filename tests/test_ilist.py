@@ -10,6 +10,7 @@ from mdbench_tpu.config import Params
 from mdbench_tpu.engine_cluster import GROUP, ClusterSimulation
 from mdbench_tpu.ops.cluster import derive_ilists
 
+pytestmark = pytest.mark.slow  # engine-level: minutes of XLA:CPU compile on 1 vCPU
 
 def _sims(half=0, **kw):
     p1 = Params(precision="dp", kernel="ilist", half_neigh=half, **kw)

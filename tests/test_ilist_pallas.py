@@ -3,10 +3,12 @@ fast path) in interpret mode, against the XLA twin and the group-list
 oracle; plus the share=2 list axis itself."""
 
 import numpy as np
+import pytest
 
 from mdbench_tpu.config import Params
 from mdbench_tpu.engine_cluster import ClusterSimulation
 
+pytestmark = pytest.mark.slow  # engine-level: minutes of XLA:CPU compile on 1 vCPU
 
 def test_ilist_pallas_forces_match_xla_twin():
     p1 = Params(precision="sp", kernel="ilist_pl", nx=4, ny=4, nz=4)

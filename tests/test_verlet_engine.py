@@ -10,6 +10,7 @@ from mdbench_tpu.engine import Simulation
 from mdbench_tpu.models.lattice import create_fcc_lattice
 from mdbench_tpu.ops.dense import lj_force_dense
 
+pytestmark = pytest.mark.slow  # engine-level: minutes of XLA:CPU compile on 1 vCPU
 
 def dense_forces_for(sim: Simulation) -> np.ndarray:
     """Dense oracle on the (sorted) initial positions of a Simulation."""

@@ -245,7 +245,11 @@ def eam_cluster_force_pallas(
         assert bpairs is not None
         sizes, caps = buckets
         bijlist, bcrows, binv = bpairs
-        xiP = (xc[bcrows], yc[bcrows], zc[bcrows])
+        # one packed 24-wide permutation gather (narrow (n, 8) row
+        # gathers are issue-bound-inefficient; r4 probe, see
+        # engine_cluster._force_buckets)
+        xiP3 = jnp.concatenate([xc, yc, zc], axis=1)[bcrows]
+        xiP = (xiP3[:, 0:8], xiP3[:, 8:16], xiP3[:, 16:24])
     else:
         assert nu * share == n_clusters_pad
         sizes, caps = (nu,), (icap,)
@@ -291,7 +295,15 @@ def eam_cluster_force_pallas(
             ]
             off += n_k
         if binv is not None:
-            outs = [o[binv] for o in outs]
+            if n_outputs > 1:
+                # packed inverse-permutation gather (one wide row fetch
+                # instead of n_outputs narrow ones)
+                o3 = jnp.concatenate(outs, axis=1)[binv]
+                outs = [
+                    o3[:, 8 * k : 8 * (k + 1)] for k in range(n_outputs)
+                ]
+            else:
+                outs = [o[binv] for o in outs]
         return outs
 
     # ---- pass 1: density ------------------------------------------------

@@ -68,6 +68,8 @@ class ClusterDomainResult(NamedTuple):
     nlocal: np.ndarray
     overflow: np.ndarray
     total_time: float
+    x_flat: np.ndarray | None = None  # (ndev, acap+1, 3) final atoms
+    v_flat: np.ndarray | None = None
 
 
 class ClusterDomainSimulation:
@@ -155,6 +157,11 @@ class ClusterDomainSimulation:
         self._ilist = params.kernel not in ("xla", "pallas")
         self.ishare = 2
         self.icap = 48
+        # one-shot melted-probe calibration state (port of the
+        # single-chip _calibrate_list_cap; VERDICT r3 item 5) + the
+        # static capacity-bucket plan for the Pallas exact-list force
+        self.buckets = None
+        self._calibrated = False
         # total plane rows: locals + y/z ghosts + 2 x-ghost blocks + 2 sent
         self.nrows_cl = (
             self.ncl_pad + self.gcap_rows + 4 * self.xcap16 + 2
@@ -378,6 +385,13 @@ class ClusterDomainSimulation:
                 clusters, pairs, self.ncl_pad, GROUP, p.cutneigh,
                 self.icap, share=self.ishare,
             )
+            if self.buckets is not None:
+                from mdbench_tpu.ops.cluster import attach_bucket_maps
+
+                pairs = attach_bucket_maps(
+                    pairs, self.ncl_pad, self.ishare,
+                    clusters.xc.shape[0], *self.buckets,
+                )
         iovf = pairs.iovf if pairs.iovf is not None else jnp.asarray(False)
         ovf = jnp.stack([
             ovf_m, ovf_c, halo.overflow, ovf_x, ovf_b, ovf_z,
@@ -461,11 +475,19 @@ class ClusterDomainSimulation:
                     eam_cluster_force_pallas,
                 )
 
+                bucketed = (
+                    self.buckets is not None and pairs.bijlist is not None
+                )
                 fx, fy, fz, _fp = eam_cluster_force_pallas(
                     clusters.xc, clusters.yc, clusters.zc, pairs.ijlist,
                     halo.border_map, self.ncl_pad, cutsq, self.eam_dev,
                     self.eam_poly, share=self.ishare,
                     fp_exchange=fp_exchange,
+                    buckets=self.buckets if bucketed else None,
+                    bpairs=(
+                        (pairs.bijlist, pairs.bcrows, pairs.binv)
+                        if bucketed else None
+                    ),
                 )
             return fx, fy, fz
         if self._ilist:
@@ -477,6 +499,8 @@ class ClusterDomainSimulation:
                     self.ncl_pad, cutsq, p.sigma6, p.epsilon,
                     share=self.ishare,
                 )
+            if self.buckets is not None and pairs.bijlist is not None:
+                return self._force_buckets(clusters, pairs, cutsq)
             return lj_cluster_force_ilist_pallas(
                 clusters.xc, clusters.yc, clusters.zc, pairs.ijlist,
                 self.ncl_pad, cutsq, p.sigma6, p.epsilon,
@@ -492,6 +516,49 @@ class ClusterDomainSimulation:
             clusters.xc, clusters.yc, clusters.zc, pairs.jlist,
             self.ncl_pad, GROUP, cutsq, p.sigma6, p.epsilon,
         )
+
+    def _force_buckets(self, clusters, pairs, cutsq: float):
+        """Capacity-bucketed exact-list LJ force per device (the
+        single-chip engine_cluster._force_buckets scheme under
+        shard_map: one STATIC mesh-wide bucket plan, per-device
+        argsort-adaptive membership). Packed 24-wide permutation
+        gathers on both ends (narrow row gathers are issue-bound,
+        r4 probe)."""
+        p = self.params
+        share = self.ishare
+        sizes, caps = self.buckets
+        xc, yc, zc = clusters.xc, clusters.yc, clusters.zc
+        xiP3 = jnp.concatenate([xc, yc, zc], axis=1)[pairs.bcrows]
+        xiP = xiP3[:, 0:8]
+        yiP = xiP3[:, 8:16]
+        ziP = xiP3[:, 16:24]
+        fxs, fys, fzs = [], [], []
+        off = 0
+        for n_k, c_k in zip(sizes, caps):
+            if c_k == 0:
+                z = jnp.zeros((n_k * share, 8), xc.dtype)
+                fxs.append(z)
+                fys.append(z)
+                fzs.append(z)
+                off += n_k
+                continue
+            r0, r1 = off * share, (off + n_k) * share
+            fxk, fyk, fzk = lj_cluster_force_ilist_pallas(
+                xc, yc, zc, pairs.bijlist[off : off + n_k, :c_k],
+                n_k * share, cutsq, p.sigma6, p.epsilon,
+                share=share, approx_rcp=p.approx_rcp,
+                xi=(xiP[r0:r1], yiP[r0:r1], ziP[r0:r1]),
+            )
+            fxs.append(fxk)
+            fys.append(fyk)
+            fzs.append(fzk)
+            off += n_k
+        f3 = jnp.concatenate(
+            [jnp.concatenate(fxs, axis=0), jnp.concatenate(fys, axis=0),
+             jnp.concatenate(fzs, axis=0)],
+            axis=1,
+        )[pairs.binv]
+        return f3[:, 0:8], f3[:, 8:16], f3[:, 16:24]
 
     # ---- the sharded run ---------------------------------------------------
 
@@ -553,7 +620,7 @@ class ClusterDomainSimulation:
                 t = thermo(vxc, vyc, vzc)
                 return (
                     cl, vxc, vyc, vzc, fxc, fyc, fzc, nloc, halo, maps,
-                    pairs, jnp.any(ovf) | jnp.any(ovf2),
+                    pairs, ovf | ovf2,
                 ), t
 
             def interval(carry, _):
@@ -569,34 +636,134 @@ class ClusterDomainSimulation:
             fxc, fyc, fzc = self._force_dev(cl, pairs, halo, maps)
             carry = (
                 cl, vxc, vyc, vzc, fxc, fyc, fzc, nloc, halo, maps,
-                pairs, jnp.any(ovf0),
+                pairs, ovf0,
             )
             carry, temps = jax.lax.scan(interval, carry, None, length=n_int)
+            # final flat atoms ride out so the calibration probe (and
+            # future checkpoint hooks) can observe the melted state
+            xf, vf = self._flatten_dev(carry[0], carry[1], carry[2], carry[3])
             return (
                 carry[7][None],  # nloc
                 carry[11][None],  # overflow
                 temps.reshape(1, -1),
+                xf[None],
+                vf[None],
             )
 
         spec = P(AXIS)
         sharded = jax.shard_map(
             dev_body, mesh=self.mesh,
             in_specs=(spec, spec, spec),
-            out_specs=(spec, spec, spec),
+            out_specs=(spec,) * 5,
             check_vma=False,
         )
         return jax.jit(sharded)
 
 
-    def _grow_and_reinit(self):
+    def _grow_and_reinit(self, flags=None):
+        """Targeted capacity growth from the overflow-flag vector
+        [migrate, clusters, halo, x-export, bin_cap, z_ext, pairs_nj,
+        pairs_coverage, ilist] — the single-chip engine's _grow scheme.
+        Structural flags (bin capacity / z extent / pair coverage) must
+        regrow the GRID slop factors, which no array capacity fixes
+        (the round-4 mesh(1)@131k hang: a blind ladder looped forever
+        on a zspan flag)."""
+        if flags is None:
+            flags = np.ones(9, bool)
         blk = 8 * GROUP
-        self.acap = (int(self.acap * 1.4) + 39) // 8 * 8
-        self.ncl_pad = (int(self.ncl_pad * 1.3) + blk) // blk * blk
-        self.gcap_rows = (int(self.gcap_rows * 1.4) + 33) // 2 * 2
-        self.xcap16 = int(self.xcap16 * 1.4) + 32
-        self.migcap = int(self.migcap * 1.4) + 32
-        self.list_cap = (int(self.list_cap * 1.4) + 7) // 8 * 8
-        self.icap = (int(self.icap * 1.5) + 7) // 8 * 8
+        if flags[0]:
+            self.migcap = int(self.migcap * 1.4) + 32
+            self.acap = (int(self.acap * 1.4) + 39) // 8 * 8
+        if flags[1]:
+            self.ncl_pad = (int(self.ncl_pad * 1.3) + blk) // blk * blk
+        if flags[2]:
+            self.gcap_rows = (int(self.gcap_rows * 1.4) + 33) // 2 * 2
+        if flags[3]:
+            self.xcap16 = int(self.xcap16 * 1.4) + 32
+        if flags[6]:
+            self.list_cap = (int(self.list_cap * 1.4) + 7) // 8 * 8
+        if flags[8]:
+            self.icap = (int(self.icap * 1.5) + 7) // 8 * 8
+        if flags[4] or flags[5] or flags[7]:
+            self.grid = make_cluster_grid(
+                self.slab_prd, self.params.cutneigh, self.params.rho,
+                GROUP,
+                bin_capacity=(
+                    int(self.grid.bin_capacity * 1.5 + 3) // 4 * 4
+                    if flags[4] else self.grid.bin_capacity
+                ),
+                slop_z=(
+                    self.grid.slop_z * 1.5 if flags[5] else self.grid.slop_z
+                ),
+                slop_xy=(
+                    self.grid.slop_xy * 1.5 if flags[5] else self.grid.slop_xy
+                ),
+                zspan_factor=(
+                    self.grid.zspan_factor * 1.3
+                    if flags[7] else self.grid.zspan_factor
+                ),
+                drift_xy=(
+                    self.grid.drift_xy * 1.5
+                    if flags[7] else self.grid.drift_xy
+                ),
+            )
+        # a static bucket plan is sized for the OLD unit count; growth
+        # may change ncl_pad, so drop the plan (flat-capacity force)
+        # rather than carry a stale-sized permutation
+        self.buckets = None
+        self.nrows_cl = (
+            self.ncl_pad + self.gcap_rows + 4 * self.xcap16 + 2
+        )
+        self._init_host_state(*self._xv_init)
+
+    def _calibrate(self, ntimes: int, _retry: int = 4) -> None:
+        """One-shot list-capacity calibration on MELTED data (port of
+        the single-chip _calibrate_list_cap + bucket planning): run a
+        throwaway reneighbor interval from t=0, re-derive the lists from
+        the probe's final atoms, set icap/list_cap from the observed
+        maxima, and plan the static mesh-wide capacity buckets for the
+        Pallas force (per-rank worst case across devices)."""
+        if self._calibrated or not self._ilist:
+            return
+        self._calibrated = True
+        every = self.params.reneigh_every
+        if ntimes < every:
+            return
+        out = self._run_raw(every, _retry=_retry)
+        spec = P(AXIS)
+
+        def observe_dev(x, v, nloc):
+            x, v, nloc = x[0], v[0], nloc[0]
+            _cl, _v3, _halo, _maps, pairs, _n, _ovf = (
+                self._reneighbor_dev(x, v, nloc)
+            )
+            return pairs.nji[None], pairs.nj[None]
+
+        obs = jax.jit(jax.shard_map(
+            observe_dev, mesh=self.mesh,
+            in_specs=(spec, spec, spec), out_specs=(spec, spec),
+            check_vma=False,
+        ))
+        nji, nj = obs(
+            jnp.asarray(out.x_flat), jnp.asarray(out.v_flat),
+            jnp.asarray(out.nlocal),
+        )
+        nji = np.asarray(nji)  # (ndev, units)
+        nj = np.asarray(nj)
+        # wider margins than the single-chip engine: the probe melts only
+        # one interval, the timed run drifts for ntimes
+        self.icap = max(
+            (int(nji.max() * 1.25) + 2 + 7) // 8 * 8, 16
+        )
+        self.list_cap = max((int(nj.max() * 1.3) + 7) // 8 * 8, 32)
+        if not self.interpret:
+            from mdbench_tpu.ops.cluster import plan_capacity_buckets
+
+            nji_sorted = np.sort(nji, axis=1)
+            self.buckets = plan_capacity_buckets(
+                nji_sorted.max(axis=0), self.icap, self.ishare,
+                margin=3, zero_tier=True,
+            )
         self.nrows_cl = (
             self.ncl_pad + self.gcap_rows + 4 * self.xcap16 + 2
         )
@@ -604,8 +771,11 @@ class ClusterDomainSimulation:
 
     def run(self, ntimes: Optional[int] = None,
             _retry: int = 6) -> ClusterDomainResult:
-        p = self.params
-        ntimes = p.ntimes if ntimes is None else ntimes
+        ntimes = self.params.ntimes if ntimes is None else ntimes
+        self._calibrate(ntimes)
+        return self._run_raw(ntimes, _retry=_retry)
+
+    def _run_raw(self, ntimes: int, _retry: int = 6) -> ClusterDomainResult:
         run_fn = self._make_run_fn(ntimes)
         # AOT-compile outside the timed region (same wall-clock protocol
         # as the single-chip engines)
@@ -615,20 +785,25 @@ class ClusterDomainSimulation:
             # carries 1-2 s of server-side warm-up on the tunnel; the
             # single-chip engines exclude it the same way
             warm = run_fn(self.x0, self.v0, self.n0)
-            _ = float(jnp.ravel(warm[-1])[0])
+            _ = float(jnp.ravel(warm[2])[0])
             del warm
         t0 = time.perf_counter()
-        nloc, ovf, temps = run_fn(self.x0, self.v0, self.n0)
+        nloc, ovf, temps, xf, vf = run_fn(self.x0, self.v0, self.n0)
         _fence = float(jnp.ravel(temps)[0])
         total = time.perf_counter() - t0
         nloc = np.asarray(nloc)
         ovf = np.asarray(ovf)
         if ovf.any():
             if _retry > 0:
-                self._grow_and_reinit()
-                return self.run(ntimes, _retry=_retry - 1)
-            raise RuntimeError("cluster-domain capacity overflow")
+                # ovf is (ndev, 9): OR across devices -> targeted growth
+                self._grow_and_reinit(ovf.reshape(-1, ovf.shape[-1]).any(0))
+                return self._run_raw(ntimes, _retry=_retry - 1)
+            raise RuntimeError(
+                "cluster-domain capacity overflow: flags "
+                + str(ovf.reshape(-1, ovf.shape[-1]).any(0))
+            )
         return ClusterDomainResult(
             temps=np.asarray(temps[0]).reshape(-1), nlocal=nloc,
-            overflow=ovf, total_time=total,
+            overflow=ovf, total_time=total, x_flat=np.asarray(xf),
+            v_flat=np.asarray(vf),
         )

@@ -189,8 +189,16 @@ class DomainSimulation:
             if jax.default_backend() == "tpu" and params.precision == "sp"
             else "xla"
         )
+        # generous initial row-build caps; a one-shot probe interval
+        # re-calibrates them from OBSERVED melted maxima before the timed
+        # run (port of the single-chip rcap/melt calibration,
+        # engine.py:594-705 — VERDICT r3 item 5: the domain engines used
+        # to hardcode these and pay for the slack every step)
         self.rcap, self.ccap, self.ucl, self.ubr = 64, 128, 6, 8
         self.zw = 5  # z-run width (unit-column zspan + 2, + drift)
+        self.rbuckets = None  # (sizes, caps) capacity buckets (planned
+        # at calibration when units/device is large enough to pay)
+        self._calibrated = False
         self._fix_row_layout()
 
         # slab-local cell grid (same static geometry on every device)
@@ -398,7 +406,7 @@ class DomainSimulation:
 
         return resort_by_cell(self.grid, x, v, nloc, self.acap)
 
-    def _reneighbor_dev(self, x, v, nloc):
+    def _reneighbor_dev(self, x, v, nloc, with_stats: bool = False):
         x = self._wrap_yz(x, nloc)
         x, v, nloc, ovf_m = self._migrate(x, v, nloc)
         if self._rowlist:
@@ -409,19 +417,31 @@ class DomainSimulation:
         if self._rowlist:
             from mdbench_tpu.state import NeighborList
 
-            rows, numrows, _nc, rovf = derive_rowlists_from_cells(
+            rows, numrows, stats, rovf = derive_rowlists_from_cells(
                 self.grid, cl, x, nloc, self.acap, self.rcap,
                 self.params.cutneigh, brcap=self.ubr, ucol=self.ucl, zw=self.zw,
                 ccap=self.ccap,
             )
+            brows = bcrows = binv = None
+            if self.rbuckets is not None:
+                from mdbench_tpu.ops.cluster import bucket_maps_core
+
+                brows, bcrows, binv, bovf = bucket_maps_core(
+                    rows, numrows, self.acap // 8, 2, x.shape[0] // 8,
+                    *self.rbuckets,
+                )
+                rovf = rovf | bovf
             # rows/numrows ride the neighbors/numneigh carry slots
             nlist = NeighborList(
                 neighbors=rows, numneigh=numrows,
                 overflow=cl.overflow | rovf,
+                brows=brows, bcrows=bcrows, binv=binv,
             )
             ovf = jnp.stack(
                 [ovf_m, ovf_g, cl.overflow, nlist.overflow]
             )
+            if with_stats:
+                return x, v, nloc, halo, bmap_l, bmap_r, nlist, ovf, stats
             return x, v, nloc, halo, bmap_l, bmap_r, nlist, ovf
         nlist = build_neighbors(
             self.grid, cl, x, None, self.params.cutneigh**2,
@@ -442,6 +462,8 @@ class DomainSimulation:
                 x, nlist.neighbors, self.acap, p.cutforce**2,
                 p.sigma6, p.epsilon, backend=self._rl_backend,
                 approx_rcp=p.approx_rcp,
+                buckets=self.rbuckets, brows=nlist.brows,
+                bcrows=nlist.bcrows, binv=nlist.binv,
             )
         if self.eam_dev is None:
             return compute_force_lj_full(
@@ -577,10 +599,13 @@ class DomainSimulation:
         return jax.jit(sharded)
 
 
-    def _grow_and_reinit(self):
+    def _grow_and_reinit(self, state: Optional["DomainState"] = None):
         """Capacity-overflow retry (domain analogue of the single-chip
         engines' grow-and-retrace): bump every data-dependent capacity
-        1.4x, recompute the row layout, re-init device state."""
+        1.4x, recompute the row layout, re-init device state. When the
+        failed run's final state is available, grow rcap to at least the
+        OBSERVED maxima (engine._grow_caps lesson: a blind ladder from a
+        tightly calibrated base can lose the race against a fast melt)."""
         self.acap = (int(self.acap * 1.4) + 39) // 8 * 8
         self.gcap = int(self.gcap * 1.4) + 32
         self.bcap = int(self.bcap * 1.4) + 32
@@ -588,18 +613,85 @@ class DomainSimulation:
         self.maxneighs = (int(self.maxneighs * 1.4) + 7) // 8 * 8
         self.rcap = int(self.rcap * 1.6 + 7) // 8 * 8
         self.ccap = int(self.ccap * 1.5 + 7) // 8 * 8
+        if state is not None and self._rowlist:
+            nrmax = int(np.asarray(state.numneigh).max())
+            self.rcap = max(self.rcap, (int(nrmax * 1.5) + 7) // 8 * 8)
         self.ucl += 2
         self.zw += 1
         self.ubr += 8
+        # acap grew -> the static bucket plan's sizes no longer sum to
+        # the per-device unit count; drop it (flat-capacity force)
+        self.rbuckets = None
         self._fix_row_layout()
         self.grid = self.grid._replace(
             capacity=int(self.grid.capacity * 1.5 + 7) // 8 * 8
         )
         self._init_host_state(*self._xv_init)
 
+    def _calibrate(self, ntimes: int, _retry: int = 4) -> None:
+        """One-shot cap calibration on MELTED data (port of the
+        single-chip rcap + melt calibration, engine.py:594-705): run a
+        throwaway reneighbor interval from t=0 at the generous initial
+        caps, read the per-device row/candidate maxima from the probe's
+        final rebuild, and re-set rcap/ccap/ucl/zw/ubr (+ the capacity-
+        bucket plan on the Pallas backend) before the timed run. Only
+        the rowlist path pays per-step for slack caps; planar skips."""
+        if self._calibrated or not self._rowlist:
+            return
+        self._calibrated = True
+        every = self.params.reneigh_every
+        if ntimes < every:
+            return
+        state = self._run_raw(every, _retry=_retry).state
+        # observe: one extra rebuild from the probe's final atoms, with
+        # the build stats (post-bbox candidates, unit columns, z-span,
+        # rows/cell) that drive the targeted caps
+        spec = P(AXIS)
+
+        def observe_dev(x, v, nloc):
+            x, v, nloc = x[0], v[0], nloc[0]
+            (_x, _v, _n, _h, _bl, _br, nlist, _ovf, stats) = (
+                self._reneighbor_dev(x, v, nloc, with_stats=True)
+            )
+            return nlist.numneigh[None], stats[None]
+
+        obs = jax.jit(jax.shard_map(
+            observe_dev, mesh=self.mesh,
+            in_specs=(spec, spec, spec), out_specs=(spec, spec),
+            check_vma=False,
+        ))
+        nr, st = obs(state.x, state.v, state.nlocal)
+        nr = np.asarray(nr)  # (ndev, units)
+        st = np.asarray(st)  # (ndev, 4)
+        self.rcap = max((int(nr.max() * 1.3) + 7) // 8 * 8, 16)
+        self.ccap = max((int(st[:, 0].max() * 1.3) + 7) // 8 * 8, 24)
+        self.ucl = max(int(st[:, 1].max()) + 1, 2)
+        self.zw = max(int(st[:, 2].max()) + 3, 3)
+        self.ubr = max(int(st[:, 3].max()) + 2, 4)
+        if self._rl_backend == "pallas":
+            from mdbench_tpu.ops.cluster import plan_capacity_buckets
+
+            # plan from the per-rank worst case across devices: sorting
+            # each device's numrows and taking the rank-wise max yields
+            # a distribution that dominates every device, so one STATIC
+            # plan (shard_map needs identical shapes on all devices)
+            # holds mesh-wide; membership stays argsort-adaptive per
+            # device per rebuild
+            nr_sorted = np.sort(nr, axis=1)
+            self.rbuckets = plan_capacity_buckets(
+                nr_sorted.max(axis=0), self.rcap, 2, margin=4,
+                zero_tier=True,
+            )
+        self._fix_row_layout()
+        self._init_host_state(*self._xv_init)
+
     def run(self, ntimes: Optional[int] = None, _retry: int = 6) -> DomainResult:
+        ntimes = self.params.ntimes if ntimes is None else ntimes
+        self._calibrate(ntimes)
+        return self._run_raw(ntimes, _retry=_retry)
+
+    def _run_raw(self, ntimes: int, _retry: int = 6) -> DomainResult:
         p = self.params
-        ntimes = p.ntimes if ntimes is None else ntimes
         dtype = p.dtype
         nd = self.ndev
         f0 = jnp.zeros((nd, self.acap, 3), dtype)
@@ -641,8 +733,8 @@ class DomainSimulation:
         )
         if bool(np.asarray(state.overflow).any()):
             if _retry > 0:
-                self._grow_and_reinit()
-                return self.run(ntimes, _retry=_retry - 1)
+                self._grow_and_reinit(state)
+                return self._run_raw(ntimes, _retry=_retry - 1)
             raise RuntimeError(
                 "domain capacity overflow: " + str(np.asarray(state.overflow))
             )

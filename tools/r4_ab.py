@@ -33,9 +33,11 @@ def main() -> int:
                 if v in ("True", "False"):
                     v = v == "True"
         kw[k] = v
-    params = Params(precision="sp", scheme="cluster", dense_thermo=False,
-                    **{k: v for k, v in kw.items() if hasattr(Params, k)
-                       or k in Params.__dataclass_fields__})
+    base = dict(precision="sp", scheme="cluster", dense_thermo=False)
+    base.update(
+        {k: v for k, v in kw.items() if k in Params.__dataclass_fields__}
+    )
+    params = Params(**base)
     if params.scheme == "cluster":
         from mdbench_tpu.engine_cluster import ClusterSimulation as Engine
     else:

@@ -280,14 +280,21 @@ def derive_rowlists_from_cells(
     )  # (n16r, 8) — one row gather fetches a whole bbox
     g = bb8[bin_rows]  # (nbins+1, brcap, 8)
 
-    # z-run tables, ONE PER FIELD (row id + 6 bbox components): row b
-    # covers cells b..b+ZW-1 (z is the fastest cell-index dim, so a z
-    # window is a flat-id run). Field-major tables make every chunk
-    # fetch a CONTIGUOUS (chunk, reads, ZW*brcap) gather — the packed
-    # [id|bbox] row form needed a strided per-field slice of the
-    # gathered block, which Mosaic/XLA relayouts at ~80x the gather's
-    # own cost (chip-measured: 56 ms vs 0.7 ms at 131k melt shapes).
+    # z-run tables for all 7 fields (row id + 6 bbox components),
+    # packed COMPONENT-MAJOR into ONE row per run: row b covers cells
+    # b..b+ZW-1 (z is the fastest cell-index dim, so a z window is a
+    # flat-id run), laid out [id slots | xlo slots | xhi | ...]. Row
+    # gathers are ISSUE-bound (~400M rows/s regardless of width,
+    # PERF.md lesson 1), so one 7*ZW*brcap-wide gather replaces seven
+    # same-index gathers — ~2M -> ~300k gather rows per rebuild at
+    # 131k. Component-major keeps every per-field extract a CONTIGUOUS
+    # lane slice of the gathered block (the same layout trick as the
+    # cluster scheme's bb_cells, ops/cluster.py bin_clusters); the
+    # earlier INTERLEAVED [id|bbox]-per-slot row form needed strided
+    # slices, which Mosaic/XLA relayouts at ~80x the gather's own cost
+    # (chip-measured: 56 ms vs 0.7 ms at 131k melt shapes).
     nb1 = bin_rows.shape[0]
+    RW = ZW * brcap  # one field's slot count per run row
 
     def zrun(tbl, fill):
         tp = jnp.concatenate(
@@ -302,8 +309,11 @@ def derive_rowlists_from_cells(
             [r, jnp.full((1, ZW * brcap), fill, tbl.dtype)], axis=0
         )
 
-    runs_id = zrun(bin_rows, sent16)
-    runs_bb = [zrun(g[:, :, c], fbig) for c in range(6)]
+    runs_pack = jnp.concatenate(
+        [zrun(bin_rows.astype(dtype), float(sent16))]
+        + [zrun(g[:, :, c], fbig) for c in range(6)],
+        axis=1,
+    )  # (nbins+2, 7*RW)
     empty_cell = nb1
 
     # 2. per-unit DISTINCT xy COLUMNS, each with ITS OWN z window.
@@ -400,10 +410,12 @@ def derive_rowlists_from_cells(
         # is the authority; dedup removes duplicates), just a few dead
         # candidate lanes
 
-        def fld(tbl):
-            return tbl[base].reshape(chunk, Wc)
+        gall = runs_pack[base]  # (chunk, ucol*9, 7*RW) — ONE gather
 
-        ids = fld(runs_id)
+        def fld(f):  # contiguous lane slice of the packed gather
+            return gall[:, :, f * RW : (f + 1) * RW].reshape(chunk, Wc)
+
+        ids = fld(0).astype(jnp.int32)
         if _probe_stage == "fetch":
             return ids, jnp.sum(ids, axis=1)
 
@@ -416,9 +428,9 @@ def derive_rowlists_from_cells(
                 jnp.maximum(lo_i[us][:, None] - hi_j, lo_j - hi_i[us][:, None]),
             )
 
-        dxg = gap(uxlo, uxhi, fld(runs_bb[0]), fld(runs_bb[1]))
-        dyg = gap(uylo, uyhi, fld(runs_bb[2]), fld(runs_bb[3]))
-        dzg = gap(uzlo, uzhi, fld(runs_bb[4]), fld(runs_bb[5]))
+        dxg = gap(uxlo, uxhi, fld(1), fld(2))
+        dyg = gap(uylo, uyhi, fld(3), fld(4))
+        dzg = gap(uzlo, uzhi, fld(5), fld(6))
         dsq = dxg * dxg + dyg * dyg + dzg * dzg
         cand = jnp.where(dsq <= cutsq, ids, sent16)
         if _probe_stage == "gap":
@@ -442,7 +454,7 @@ def derive_rowlists_from_cells(
 
     starts = jnp.arange(0, nu, chunk, dtype=jnp.int32)
     if _probe_stage == "binrows":
-        return runs_id, runs_id[:1, 0], jnp.zeros((4,), jnp.int32), \
+        return runs_pack, runs_pack[:1, 0], jnp.zeros((4,), jnp.int32), \
             jnp.asarray(False)
     cands, ncs = jax.lax.map(chunk_fn, starts)
     cand = cands.reshape(nu, -1)

@@ -579,26 +579,47 @@ class ClusterDomainSimulation:
                 ) * mass
                 return jax.lax.psum(vsq, AXIS) * scales.t_scale
 
-            def plain_step(carry, _):
-                cl, vxc, vyc, vzc, fxc, fyc, fzc, nloc, halo, maps, pairs, ovf = carry
-                vxc = vxc + dtf * fxc
-                vyc = vyc + dtf * fyc
-                vzc = vzc + dtf * fzc
-                xc = cl.xc.at[: self.ncl_pad].add(dt * vxc)
-                yc = cl.yc.at[: self.ncl_pad].add(dt * vyc)
-                zc = cl.zc.at[: self.ncl_pad].add(dt * vzc)
-                cl = cl._replace(xc=xc, yc=yc, zc=zc)
-                cl = update_cluster_pbc(cl, halo, self.ncl_pad, False)
-                cl = self._exchange_rows(cl, maps[0], maps[1], False)
-                fxc, fyc, fzc = self._force_dev(cl, pairs, halo, maps)
-                vxc = vxc + dtf * fxc
-                vyc = vyc + dtf * fyc
-                vzc = vzc + dtf * fzc
-                t = thermo(vxc, vyc, vzc)
-                return (
-                    cl, vxc, vyc, vzc, fxc, fyc, fzc, nloc, halo, maps,
-                    pairs, ovf,
-                ), t
+            def plain_scan(carry, n):
+                """n plain steps carrying ONLY the nine mutable planes —
+                the halo/maps/pairs tables are rebuild-invariant, and
+                keeping them in the scan carry makes XLA thread (and
+                copy) the list arrays through every step (the same lean-
+                carry lesson as engine_cluster._plain_scan; measured on
+                the single-chip engine, and the domain engines inherited
+                the fat-carry form until round 4)."""
+                cl0, vxc, vyc, vzc, fxc, fyc, fzc, nloc, halo, maps, pairs, ovf = carry
+
+                def body(mv, _):
+                    xc, yc, zc, vx, vy, vz, fx, fy, fz = mv
+                    vx = vx + dtf * fx
+                    vy = vy + dtf * fy
+                    vz = vz + dtf * fz
+                    xc = xc.at[: self.ncl_pad].add(dt * vx)
+                    yc = yc.at[: self.ncl_pad].add(dt * vy)
+                    zc = zc.at[: self.ncl_pad].add(dt * vz)
+                    cl = cl0._replace(xc=xc, yc=yc, zc=zc)
+                    cl = update_cluster_pbc(cl, halo, self.ncl_pad, False)
+                    cl = self._exchange_rows(cl, maps[0], maps[1], False)
+                    fx, fy, fz = self._force_dev(cl, pairs, halo, maps)
+                    vx = vx + dtf * fx
+                    vy = vy + dtf * fy
+                    vz = vz + dtf * fz
+                    # per-step thermo only when asked: it is a psum'd
+                    # cross-chip collective in the hot loop otherwise
+                    if p.dense_thermo:
+                        t = thermo(vx, vy, vz)
+                    else:
+                        t = jnp.zeros((), vx.dtype)
+                    return (cl.xc, cl.yc, cl.zc, vx, vy, vz, fx, fy, fz), t
+
+                mv0 = (cl0.xc, cl0.yc, cl0.zc, vxc, vyc, vzc, fxc, fyc, fzc)
+                mv, ts = jax.lax.scan(body, mv0, None, length=n)
+                xc, yc, zc, vxc, vyc, vzc, fxc, fyc, fzc = mv
+                carry = (
+                    cl0._replace(xc=xc, yc=yc, zc=zc), vxc, vyc, vzc,
+                    fxc, fyc, fzc, nloc, halo, maps, pairs, ovf,
+                )
+                return carry, ts
 
             def reneigh_step(carry):
                 cl, vxc, vyc, vzc, fxc, fyc, fzc, nloc, halo, maps, pairs, ovf = carry
@@ -624,9 +645,7 @@ class ClusterDomainSimulation:
                 ), t
 
             def interval(carry, _):
-                carry, ts = jax.lax.scan(
-                    plain_step, carry, None, length=every - 1
-                )
+                carry, ts = plain_scan(carry, every - 1)
                 carry, t_last = reneigh_step(carry)
                 return carry, jnp.concatenate([ts, t_last[None]])
 

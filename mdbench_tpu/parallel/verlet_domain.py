@@ -544,16 +544,33 @@ class DomainSimulation:
                 )
                 return x, v
 
-            def plain_step(carry, _):
-                x, v, f, nloc, halo, bl, br, nlist, ovf = carry
-                x, v = integrate1(x, v, f, nloc)
-                x = update_pbc(x, halo, acap)
-                x = self._exchange_borders(x, bl, br)
-                f = self._force_dev(x, nlist, halo, bl, br)
+            def plain_scan(carry, n):
+                """n plain steps carrying ONLY (x, v, f): nloc, halo,
+                borders, and the row lists are rebuild-invariant, and a
+                fat scan carry makes XLA thread/copy the list arrays
+                through every step (lean-carry lesson,
+                engine_cluster._plain_scan). Per-step thermo is a psum'd
+                collective — skipped unless dense_thermo asks for it."""
+                x0, v0, f0, nloc, halo, bl, br, nlist, ovf = carry
                 live = (rows < nloc)[:, None]
-                v = jnp.where(live, v + dtf * f, v)
-                t = thermo(v, nloc)
-                return (x, v, f, nloc, halo, bl, br, nlist, ovf), t
+
+                def body(mv, _):
+                    x, v, f = mv
+                    x, v = integrate1(x, v, f, nloc)
+                    x = update_pbc(x, halo, acap)
+                    x = self._exchange_borders(x, bl, br)
+                    f = self._force_dev(x, nlist, halo, bl, br)
+                    v = jnp.where(live, v + dtf * f, v)
+                    if p.dense_thermo:
+                        t = thermo(v, nloc)
+                    else:
+                        t = jnp.zeros((), v.dtype)
+                    return (x, v, f), t
+
+                (x, v, f), ts = jax.lax.scan(
+                    body, (x0, v0, f0), None, length=n
+                )
+                return (x, v, f, nloc, halo, bl, br, nlist, ovf), ts
 
             def reneigh_step(carry):
                 x, v, f, nloc, halo, bl, br, nlist, ovf = carry
@@ -568,9 +585,7 @@ class DomainSimulation:
                 return (x, v, f, nloc, halo, bl, br, nlist, ovf | ovf2), t
 
             def interval(carry, _):
-                carry, ts = jax.lax.scan(
-                    plain_step, carry, None, length=every - 1
-                )
+                carry, ts = plain_scan(carry, every - 1)
                 carry, t_last = reneigh_step(carry)
                 return carry, jnp.concatenate([ts, t_last[None]])
 

@@ -485,17 +485,31 @@ class Domain2DSimulation:
                     p.cutforce**2, p.sigma6, p.epsilon,
                 )
 
-            def plain_step(carry, _):
-                x, v, f, nloc, halo, bxl, bxr, byd, byu, nlist, ovf = carry
-                x, v = integrate1(x, v, f, nloc)
-                x = self._refresh_ghosts(x, halo, bxl, bxr, byd, byu)
-                f = force(x, nlist, halo, bxl, bxr, byd, byu)
+            def plain_scan(carry, n):
+                # lean scan carry: only (x, v, f) is mutable between
+                # rebuilds; per-step thermo (a psum collective) only
+                # when dense_thermo asks (engine_cluster._plain_scan)
+                x0, v0, f0, nloc, halo, bxl, bxr, byd, byu, nlist, ovf = carry
                 live = (rows < nloc)[:, None]
-                v = jnp.where(live, v + dtf * f, v)
-                t = thermo(v, nloc)
+
+                def body(mv, _):
+                    x, v, f = mv
+                    x, v = integrate1(x, v, f, nloc)
+                    x = self._refresh_ghosts(x, halo, bxl, bxr, byd, byu)
+                    f = force(x, nlist, halo, bxl, bxr, byd, byu)
+                    v = jnp.where(live, v + dtf * f, v)
+                    if p.dense_thermo:
+                        t = thermo(v, nloc)
+                    else:
+                        t = jnp.zeros((), v.dtype)
+                    return (x, v, f), t
+
+                (x, v, f), ts = jax.lax.scan(
+                    body, (x0, v0, f0), None, length=n
+                )
                 return (
                     x, v, f, nloc, halo, bxl, bxr, byd, byu, nlist, ovf
-                ), t
+                ), ts
 
             def reneigh_step(carry):
                 x, v, f, nloc, halo, bxl, bxr, byd, byu, nlist, ovf = carry
@@ -513,9 +527,7 @@ class Domain2DSimulation:
                 ), t
 
             def interval(carry, _):
-                carry, ts = jax.lax.scan(
-                    plain_step, carry, None, length=every - 1
-                )
+                carry, ts = plain_scan(carry, every - 1)
                 carry, t_last = reneigh_step(carry)
                 return carry, jnp.concatenate([ts, t_last[None]])
 

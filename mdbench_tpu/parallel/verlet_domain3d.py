@@ -400,15 +400,29 @@ class Domain3DSimulation:
                     p.cutforce**2, p.sigma6, p.epsilon,
                 )
 
-            def plain_step(carry, _):
-                x, v, f, nloc, maps, nlist, ovf = carry
-                x, v = integrate1(x, v, f, nloc)
-                x = self._refresh_ghosts(x, maps)
-                f = force(x, nlist, maps)
+            def plain_scan(carry, n):
+                # lean scan carry: only (x, v, f) is mutable between
+                # rebuilds; per-step thermo (a psum collective) only
+                # when dense_thermo asks (engine_cluster._plain_scan)
+                x0, v0, f0, nloc, maps, nlist, ovf = carry
                 live = (rows < nloc)[:, None]
-                v = jnp.where(live, v + dtf * f, v)
-                t = thermo(v, nloc)
-                return (x, v, f, nloc, maps, nlist, ovf), t
+
+                def body(mv, _):
+                    x, v, f = mv
+                    x, v = integrate1(x, v, f, nloc)
+                    x = self._refresh_ghosts(x, maps)
+                    f = force(x, nlist, maps)
+                    v = jnp.where(live, v + dtf * f, v)
+                    if p.dense_thermo:
+                        t = thermo(v, nloc)
+                    else:
+                        t = jnp.zeros((), v.dtype)
+                    return (x, v, f), t
+
+                (x, v, f), ts = jax.lax.scan(
+                    body, (x0, v0, f0), None, length=n
+                )
+                return (x, v, f, nloc, maps, nlist, ovf), ts
 
             def reneigh_step(carry):
                 x, v, f, nloc, maps, nlist, ovf = carry
@@ -425,9 +439,7 @@ class Domain3DSimulation:
                 ), t
 
             def interval(carry, _):
-                carry, ts = jax.lax.scan(
-                    plain_step, carry, None, length=every - 1
-                )
+                carry, ts = plain_scan(carry, every - 1)
                 carry, t_last = reneigh_step(carry)
                 return carry, jnp.concatenate([ts, t_last[None]])
 

@@ -46,6 +46,7 @@ from mdbench_tpu.ops.verlet import (
     build_neighbors,
     compute_force_lj_rowlist,
     derive_rowlists_from_cells,
+    derive_rowlists_from_ranges,
 )
 from mdbench_tpu.state import SENTINEL_COORD, Halo, NeighborList
 from mdbench_tpu.thermo import (
@@ -161,7 +162,14 @@ class Simulation:
             prd, params.cutneigh, params.rho, 0
         )
         if params.sort_atoms:
-            perm = sort_atoms_host(self.grid, x)
+            # sort by the WRAPPED position (key only, coords untouched):
+            # _reneighbor wraps before building lists, so an out-of-box
+            # atom (file-read or perturbed systems) that wraps after a
+            # raw-coordinate sort would violate the bin-sortedness
+            # invariant the range rowbuild relies on
+            xw = np.where(x < 0.0, x + prd, x)
+            xw = np.where(xw >= prd, xw - prd, xw)
+            perm = sort_atoms_host(self.grid, xw)
             x, v, types = x[perm], v[perm], types[perm]
         self._x0, self._v0, self._types0 = x, v, types
 
@@ -194,6 +202,12 @@ class Simulation:
         self.ucl = 4  # distinct xy COLUMNS per unit (grown on overflow)
         self.zw = 4  # z-run width (covers a unit column's zspan + 2)
         self.ubr = 8  # distinct 16-rows per cell
+        self.ukr = 40  # candidate row-RANGES per unit (ranges build)
+        # range-based rebuild (derive_rowlists_from_ranges) requires the
+        # sortedness invariants: locals re-sorted at EVERY reneighbor
+        # (sort_atoms) and cell-sorted ghosts — both true exactly when
+        # the rowlist path runs with sort_atoms on
+        self._rowbuild_ranges = self._rowlist and params.sort_atoms
         self.rbuckets = None  # (sizes, caps) capacity buckets, planned
         # from the first build's numrows distribution (Pallas path only)
         self._force_reps = 1  # cli --timers diff sets 2 (in-loop timing)
@@ -287,18 +301,29 @@ class Simulation:
         )
         types = ghost_types(types, halo, caps.nlocal_pad)
         x = update_pbc(x, halo, caps.nlocal_pad)
-        cl = build_cells(self.grid, x)
         if self._rowlist:
             # rowlist fast path: unit-granular list build straight from
             # the cell table — the per-atom verlet lists (16x the gather
             # issues and sort rows; 34 + 7.8 ms of the 94 ms rebuild at
             # 131k) are never built. Per-atom lists for stats/tracing
             # come from per_atom_lists() on demand.
-            rows, numrows, ncmax, rovf = derive_rowlists_from_cells(
-                self.grid, cl, x, self.nlocal, caps.nlocal_pad,
-                self.rcap, p.cutneigh, brcap=self.ubr,
-                ucol=self.ucl, zw=self.zw, ccap=self.ccap,
-            )
+            if self._rowbuild_ranges:
+                # sort-free range build: needs bin-sorted locals
+                # (resort rides every reneighbor) + cell-sorted ghosts;
+                # no atom cell table at all
+                rows, numrows, ncmax, rovf = derive_rowlists_from_ranges(
+                    self.grid, x, self.nlocal, caps.nlocal_pad,
+                    caps.ghost, self.rcap, p.cutneigh,
+                    ucol=self.ucl, kcap=self.ukr, ccap=self.ccap,
+                )
+            else:
+                cl = build_cells(self.grid, x)
+                rows, numrows, ncmax, rovf = derive_rowlists_from_cells(
+                    self.grid, cl, x, self.nlocal, caps.nlocal_pad,
+                    self.rcap, p.cutneigh, brcap=self.ubr,
+                    ucol=self.ucl, zw=self.zw, ccap=self.ccap,
+                )
+                rovf = rovf | cl.overflow
             brows = bcrows = binv = None
             if self.rbuckets is not None:
                 from mdbench_tpu.ops.cluster import bucket_maps_core
@@ -311,10 +336,11 @@ class Simulation:
             dummy = jnp.zeros((1, 8), jnp.int32)
             nlist = NeighborList(
                 neighbors=dummy, numneigh=dummy[0],
-                overflow=cl.overflow | rovf, rows=rows, numrows=numrows,
+                overflow=rovf, rows=rows, numrows=numrows,
                 brows=brows, bcrows=bcrows, binv=binv, ncmax=ncmax,
             )
             return x, types, halo, nlist, halo.overflow | nlist.overflow
+        cl = build_cells(self.grid, x)
         nlist = build_neighbors(
             self.grid, cl, x, types,
             self.cutneighsq if self.tables is None else self.tables.cutneighsq,
@@ -676,6 +702,17 @@ class Simulation:
             if rt != self.rcap:
                 self.rcap = rt
                 changed = True
+            # ghost capacity: update_pbc gathers + writes the FULL
+            # padded ghost block every plain step, so slack here taxes
+            # the whole run (measured 1.83 ms/step at 131k after two
+            # indiscriminate _grow_caps 1.5x bumps vs 0.50 at the sized
+            # cap). The liquid's surface-shell count is stable; 1.25x
+            # margin + the overflow retry backstops drift.
+            ng = int(np.asarray(st1.halo.nghost))
+            gt = max((int(ng * 1.25) + 15) // 16 * 16, 512)
+            if gt != self.caps.ghost:
+                self.caps = self.caps._replace(ghost=gt)
+                changed = True
             if st1.nlist.ncmax is not None:
                 st_ = np.asarray(st1.nlist.ncmax)
                 ct = max(
@@ -713,11 +750,18 @@ class Simulation:
         observed maxima come from a FAILED build and may
         underestimate)."""
         dmax, zmax, bmax = (int(stats[1]), int(stats[2]), int(stats[3]))
-        want = {
-            "ucl": max(dmax + 1, 2),
-            "zw": max(zmax + 3, 3),
-            "ubr": max(bmax + 2, 4),
-        }
+        if self._rowbuild_ranges:
+            # ranges build stats: [cand, dcol, n_ranges, 0]
+            want = {
+                "ucl": max(dmax + 1, 2),
+                "ukr": max((zmax + 6 + 7) // 8 * 8, 16),
+            }
+        else:
+            want = {
+                "ucl": max(dmax + 1, 2),
+                "zw": max(zmax + 3, 3),
+                "ubr": max(bmax + 2, 4),
+            }
         changed = False
         for name, w in want.items():
             cur = getattr(self, name)
@@ -755,6 +799,7 @@ class Simulation:
             self.ucl += 2
             self.zw += 1
             self.ubr += 8
+            self.ukr += 16
         if self.rbuckets is not None:
             # widen every bucket cap; the last cap tracks rcap
             sizes, caps = self.rbuckets

@@ -530,6 +530,313 @@ def derive_rowlists_from_cells(
     return rows_out, numrows, stats, overflow
 
 
+def derive_rowlists_from_ranges(
+    grid: CellGrid,
+    x: jnp.ndarray,  # (nrows, 3) — locals, ghosts, sentinel tail
+    nlocal: int,
+    nlocal_pad: int,
+    gcap: int,  # ghost block length (rows [nlocal_pad, nlocal_pad+gcap))
+    rcap: int,
+    cutneigh: float,
+    ucol: int = 4,  # distinct xy COLUMNS per 16-atom unit (checked)
+    kcap: int = 40,  # candidate row-RANGES per unit (checked)
+    ccap: int = 128,  # candidate rows per unit before the exact prune
+    chunk: int = 512,
+):
+    """Packed 16-atom-row lists via CONTIGUOUS ROW RANGES — the
+    sort-free rebuild. Exploits the engine's sortedness invariants:
+    locals are bin-sorted (resort rides every reneighbor on the rowlist
+    path) and ghosts are cell-sorted (setup_pbc sort_grid), with z the
+    fastest cell-index dimension. Then every stencil column's
+    candidates for a unit form ONE contiguous range of 16-row ids
+    ([starts[cell(c, z0)], starts[cell(c, z1)+1]) in atom space), so
+    the whole candidate-assembly pipeline of derive_rowlists_from_cells
+    (cell table + packed z-run bbox fetch + gap test + two Wc-wide
+    dedup sorts — 4.9 + 5.4 ms of the 19 ms reneighbor at 131k)
+    collapses into: two searchsorted start tables, one narrow row
+    gather of per-column start rows, an ANALYTIC unit-bbox-vs-column
+    xy gap prune (no bbox tables at all), a kcap-wide range sort +
+    interval-union trim (duplicates only arise as overlapping ranges),
+    and a K-way select materialization. The exact min-distance prune
+    (stage 5) is unchanged, so the kept set is IDENTICAL to
+    derive_rowlists_from_cells' (both keep a row iff some (unit atom,
+    row atom) pair is within cutneigh; both emit ascending row ids).
+    Reference analogue: buildNeighbor's stencil+cutoff scan
+    (src/verletlist/neighbor.c:186-264), at TPU row-range granularity.
+
+    Returns (rows (nu, rcap) int32, numrows, stats, overflow); stats =
+    int32 (4,) observed maxima [candidate rows, distinct unit columns,
+    non-empty ranges, 0] driving ccap/ucol/kcap calibration."""
+    from mdbench_tpu.ops.cells import coord_to_bin
+
+    nrows = x.shape[0]
+    assert nrows % 16 == 0 and nlocal_pad % 16 == 0 and rcap % 8 == 0
+    nu = nlocal_pad // 16
+    sent16 = nrows // 16 - 1
+    d0, d1, d2 = grid.dims
+    ncols = d0 * d1
+    nbins = grid.nbins
+    dtype = x.dtype
+    cutsq = cutneigh * cutneigh
+    fbig = jnp.asarray(1e30, dtype)
+    big = jnp.int32(1 << 29)
+
+    # ---- per-cell atom-range start tables (locals + ghosts) --------------
+    # starts[b] = first atom index whose bin id >= b; empty cells
+    # collapse to zero-length ranges automatically. Valid because the
+    # resort key and coord_to_bin are the same function of x.
+    ids_l = coord_to_bin(grid, x[:nlocal])
+    ids_g = coord_to_bin(grid, x[nlocal_pad : nlocal_pad + gcap])
+    q = jnp.arange(nbins + 1, dtype=jnp.int32)
+    starts_l = jnp.searchsorted(ids_l, q).astype(jnp.int32)
+    starts_g = jnp.searchsorted(ids_g, q).astype(jnp.int32)
+    # per-column start rows [SL | SG], one row gather serves both
+    # blocks and every z of the column (z is the fastest index, so a
+    # column's starts are starts[c*d2 : c*d2+d2]; lane d2 = the next
+    # column's first start = this column's end)
+    cidx = (jnp.arange(ncols, dtype=jnp.int32)[:, None] * d2
+            + jnp.arange(d2 + 1, dtype=jnp.int32)[None, :])
+    tab = jnp.concatenate(
+        [starts_l[cidx], starts_g[cidx]], axis=1
+    )  # (ncols, 2*(d2+1))
+    # one all-empty row for dead stencil slots
+    tab = jnp.concatenate(
+        [tab, jnp.zeros((1, 2 * (d2 + 1)), jnp.int32)], axis=0
+    )
+
+    # ---- per-unit distinct columns with their z-cell ranges --------------
+    bs = jnp.asarray(grid.binsize, dtype)
+    b3 = jnp.floor(x[:nlocal_pad] / bs).astype(jnp.int32) + 1
+    b3 = jnp.clip(b3, 0, jnp.asarray(grid.dims, jnp.int32) - 1)
+    validu = (jnp.arange(nlocal_pad) < nlocal).reshape(nu, 16)
+    flat16 = jnp.where(
+        validu,
+        ((b3[:, 0] * d1 + b3[:, 1]) * d2 + b3[:, 2]).reshape(nu, 16),
+        big,
+    )
+    fs = jnp.sort(flat16, axis=1)  # (col, z) packed ascending
+    colS = jnp.where(fs < big, fs // d2, big)
+    zS = jnp.where(fs < big, fs % d2, 0)
+    zmax_run = zS  # propagate each column run's last z backward
+    for k in (1, 2, 4, 8):
+        colSh = jnp.concatenate(
+            [colS[:, k:], jnp.full((nu, k), big, jnp.int32)], axis=1
+        )
+        zmh = jnp.concatenate(
+            [zmax_run[:, k:], jnp.zeros((nu, k), jnp.int32)], axis=1
+        )
+        zmax_run = jnp.where(
+            colSh == colS, jnp.maximum(zmax_run, zmh), zmax_run
+        )
+    firstu = jnp.concatenate(
+        [jnp.ones((nu, 1), bool), colS[:, 1:] != colS[:, :-1]], axis=1
+    ) & (colS < big)
+    n_dc = jnp.sum(firstu, axis=1).astype(jnp.int32)
+    sovf = jnp.any(n_dc > ucol)
+    p16 = jnp.arange(16, dtype=jnp.int32)[None, :]
+    ku = jnp.where(firstu, p16, 16 + p16)
+    k2u, colC, zloC, zhiC = jax.lax.sort(
+        (ku, colS, zS, zmax_run), num_keys=1, dimension=1,
+        is_stable=False,
+    )
+    live = k2u[:, :ucol] < 16
+    dcol = jnp.where(live, colC[:, :ucol], big)  # (nu, ucol)
+    dzlo = jnp.where(live, zloC[:, :ucol], 0)
+    dzhi = jnp.where(live, zhiC[:, :ucol], 0)
+
+    # unit bboxes (xy only needed — the z window is exact by cells)
+    xi16 = x[:nlocal_pad, 0].reshape(nu, 16)
+    yi16 = x[:nlocal_pad, 1].reshape(nu, 16)
+    zi16 = x[:nlocal_pad, 2].reshape(nu, 16)
+
+    def umm(p):
+        lo = jnp.min(jnp.where(validu, p, fbig), axis=1)
+        hi = jnp.max(jnp.where(validu, p, -fbig), axis=1)
+        return lo, hi
+
+    uxlo, uxhi = umm(xi16)
+    uylo, uyhi = umm(yi16)
+
+    coloff = jnp.asarray(
+        [dx * d1 + dy for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
+        jnp.int32,
+    )
+    K9 = ucol * 9
+    base16g = nlocal_pad // 16
+    while nu % chunk != 0 and chunk > 1:
+        chunk //= 2
+    lane_z = jnp.arange(d2 + 1, dtype=jnp.int32)
+    lpos = jnp.arange(ccap, dtype=jnp.int32)
+    kpos = jnp.arange(kcap, dtype=jnp.int32)
+    RBIG = jnp.int32(1 << 28)  # empty-range sentinel (sorts last)
+    packed48 = jnp.concatenate(
+        [x[:, 0].reshape(-1, 16), x[:, 1].reshape(-1, 16),
+         x[:, 2].reshape(-1, 16)],
+        axis=1,
+    )
+
+    def chunk_fn(u0):
+        us = u0 + jnp.arange(chunk, dtype=jnp.int32)
+        dc = dcol[us]  # (chunk, ucol)
+        zl = dzlo[us]
+        zh = dzhi[us]
+        cs = jnp.where(
+            dc[:, :, None] < big, dc[:, :, None] + coloff[None, None, :],
+            ncols,
+        )  # (chunk, ucol, 9) flat stencil column ids (ncols = dead row)
+        cs = jnp.clip(cs, 0, ncols)
+        # analytic xy gap: unit bbox vs the stencil column's rectangle
+        # (bin b covers [(b-1)*bs, b*bs) after the +1 margin shift)
+        bxc = (cs // d1).astype(dtype)
+        byc = (cs % d1).astype(dtype)
+        rxlo = (bxc - 1.0) * bs[0]
+        rxhi = bxc * bs[0]
+        rylo = (byc - 1.0) * bs[1]
+        ryhi = byc * bs[1]
+        gx = jnp.maximum(
+            0.0,
+            jnp.maximum(rxlo - uxhi[us][:, None, None],
+                        uxlo[us][:, None, None] - rxhi),
+        )
+        gy = jnp.maximum(
+            0.0,
+            jnp.maximum(rylo - uyhi[us][:, None, None],
+                        uylo[us][:, None, None] - ryhi),
+        )
+        keepc = (gx * gx + gy * gy <= cutsq) & (cs < ncols)
+
+        rows_t = tab[cs.reshape(chunk, K9)].reshape(
+            chunk, ucol, 9, 2 * (d2 + 1)
+        )  # ONE row gather per stencil slot
+        z0 = jnp.maximum(zl - 1, 0)[:, :, None]  # (chunk, ucol, 1)
+        z1 = jnp.minimum(zh + 1, d2 - 1)[:, :, None]
+        sel0 = (lane_z[None, None, None, :] == z0[..., None])
+        sel1 = (lane_z[None, None, None, :] == (z1 + 1)[..., None])
+
+        def pick(block, sel):
+            return jnp.sum(
+                jnp.where(sel, block, 0), axis=3
+            )  # (chunk, ucol, 9)
+
+        sl_blk = rows_t[:, :, :, : d2 + 1]
+        sg_blk = rows_t[:, :, :, d2 + 1 :]
+        a0 = pick(sl_blk, sel0)
+        a1 = pick(sl_blk, sel1)
+        g0 = pick(sg_blk, sel0)
+        g1 = pick(sg_blk, sel1)
+
+        def to_rows(lo_a, hi_a, base):
+            empty = hi_a <= lo_a
+            rlo = base + (lo_a >> 4)
+            rhi = base + ((hi_a - 1) >> 4) + 1
+            rlo = jnp.where(keepc & ~empty, rlo, RBIG)
+            rhi = jnp.where(keepc & ~empty, rhi, RBIG)
+            return rlo, rhi
+
+        llo, lhi = to_rows(a0, a1, 0)
+        glo, ghi = to_rows(g0, g1, base16g)
+        rlo = jnp.concatenate(
+            [llo.reshape(chunk, K9), glo.reshape(chunk, K9)], axis=1
+        )
+        rhi = jnp.concatenate(
+            [lhi.reshape(chunk, K9), ghi.reshape(chunk, K9)], axis=1
+        )
+        # sort ranges by lo; non-empty count; truncate to kcap
+        rlo_s, rhi_s = jax.lax.sort(
+            (rlo, rhi), num_keys=1, dimension=1, is_stable=False
+        )
+        nk = jnp.sum(rlo_s < RBIG, axis=1).astype(jnp.int32)
+        rlo_s = rlo_s[:, :kcap]
+        rhi_s = rhi_s[:, :kcap]
+        # interval-union trim: overlapping ranges (the only duplicate
+        # source) are clipped so the kept intervals are disjoint
+        cm = jax.lax.cummax(
+            jnp.where(rlo_s < RBIG, rhi_s, 0), axis=1
+        )
+        pm = jnp.concatenate(
+            [jnp.zeros((chunk, 1), jnp.int32), cm[:, :-1]], axis=1
+        )
+        lo2 = jnp.maximum(rlo_s, jnp.minimum(pm, rhi_s))
+        ln = jnp.where(
+            rlo_s < RBIG, jnp.maximum(rhi_s - lo2, 0), 0
+        )
+        cum = jnp.cumsum(ln, axis=1) - ln  # exclusive
+        total = cum[:, -1] + ln[:, -1]
+        # K-way select materialization: slot t belongs to range k iff
+        # cum_k <= t < cum_k + len_k; its id = lo2_k + t - cum_k
+        end = cum + ln
+        t3 = lpos[None, None, :]
+        in_k = (t3 >= cum[:, :, None]) & (t3 < end[:, :, None])
+        cand = jnp.sum(
+            jnp.where(in_k, lo2[:, :, None] - cum[:, :, None], 0),
+            axis=1,
+        ) + t3[:, 0, :]
+        cand = jnp.where(lpos[None, :] < total[:, None], cand, sent16)
+        return cand, total, nk
+
+    starts_u = jnp.arange(0, nu, chunk, dtype=jnp.int32)
+    cands, totals, nks = jax.lax.map(chunk_fn, starts_u)
+    cand = cands.reshape(nu, ccap)
+    total = totals.reshape(nu)
+    nk = nks.reshape(nu)
+    covf = jnp.any(total > ccap)
+    kovf = jnp.any(nk > kcap)
+
+    # ---- exact prune + compaction (same as derive_rowlists_from_cells) --
+    def prune_fn(u0):
+        us = u0 + jnp.arange(chunk, dtype=jnp.int32)
+        cu = cand[us]  # (chunk, ccap)
+        from mdbench_tpu.ops.pallas.lj_cluster import ILIST_GATHER
+
+        if ILIST_GATHER == "fused":
+            dn = jax.lax.GatherDimensionNumbers(
+                offset_dims=(1, 3), collapsed_slice_dims=(0,),
+                start_index_map=(0,),
+            )
+            pl3 = jax.lax.gather(
+                packed48.reshape(-1, 3, 16), cu[:, :, None], dn,
+                (1, 3, 16),
+            ).reshape(chunk, 3, 1, ccap * 16)
+        else:
+            rows = packed48[cu]  # (chunk, ccap, 48)
+            pl3 = jnp.transpose(
+                rows.reshape(chunk, ccap, 3, 16), (0, 2, 1, 3)
+            ).reshape(chunk, 3, 1, ccap * 16)
+        xi = xi16[us][:, :, None]
+        yi = yi16[us][:, :, None]
+        zi = zi16[us][:, :, None]
+        dx = xi - pl3[:, 0]
+        dy = yi - pl3[:, 1]
+        dz = zi - pl3[:, 2]
+        rsq = dx * dx + dy * dy + dz * dz  # (chunk, 16, ccap*16)
+        rsq = jnp.where(validu[us][:, :, None], rsq, fbig)
+        mina = jnp.min(rsq, axis=1)
+        mind = jnp.min(mina.reshape(chunk, ccap, 16), axis=2)
+        keep = (mind <= cutsq) & (cu != sent16)
+        nr = jnp.sum(keep, axis=1).astype(jnp.int32)
+        key = jnp.where(keep, lpos, ccap + lpos)
+        k2, v2 = jax.lax.sort((key, cu), num_keys=1, dimension=1,
+                              is_stable=False)
+        rc = min(rcap, ccap)
+        out = jnp.where(k2[:, :rc] < ccap, v2[:, :rc], sent16)
+        if rc < rcap:
+            out = jnp.concatenate(
+                [out, jnp.full((chunk, rcap - rc), sent16, jnp.int32)],
+                axis=1,
+            )
+        return out, nr
+
+    outs, nrs = jax.lax.map(prune_fn, starts_u)
+    rows_out = outs.reshape(nu, rcap)
+    numrows = nrs.reshape(nu)
+    overflow = sovf | covf | kovf | jnp.any(numrows > rcap)
+    stats = jnp.stack([
+        jnp.max(total), jnp.max(n_dc), jnp.max(nk),
+        jnp.zeros((), jnp.int32),
+    ])
+    return rows_out, numrows, stats, overflow
+
+
 def compute_force_lj_rowlist(
     x: jnp.ndarray,  # (nrows, 3) — locals, ghosts, sentinel tail
     rows: jnp.ndarray,  # (nlocal_pad/16, rcap) int32 row ids

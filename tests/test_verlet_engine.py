@@ -207,6 +207,49 @@ def test_direct_rowlists_match_per_atom_union():
     assert int(np.asarray(num_b)[nreal:].sum()) == 0
 
 
+def test_range_rowlists_match_per_atom_union():
+    """derive_rowlists_from_ranges (sort-free contiguous-range build)
+    must produce IDENTICAL ascending row lists to the per-atom verlet
+    list union (same exact min-distance criterion; the range assembly
+    is a provable candidate superset given the sortedness invariants)."""
+    import jax.numpy as jnp
+
+    from mdbench_tpu.ops.cells import build_cells
+    from mdbench_tpu.ops.verlet import (
+        build_neighbors,
+        derive_rowlists,
+        derive_rowlists_from_ranges,
+    )
+
+    p = Params(nx=5, ny=5, nz=5, kernel="rowlist")
+    sim = Simulation(p)
+    st = sim.initial_state()
+    caps = sim.caps
+    x = jnp.asarray(st.x)
+    cl = build_cells(sim.grid, x)
+    nl = build_neighbors(
+        sim.grid, cl, x, st.types, sim.cutneighsq, sim.nlocal,
+        caps.nlocal_pad, caps.maxneighs, half=False,
+    )
+    rcap = 96  # tiny box: unions reach ~70 rows
+    rows_a, num_a, ovf_a = derive_rowlists(
+        nl, caps.nlocal_pad, x.shape[0], rcap
+    )
+    rows_b, num_b, _nc, ovf_b = derive_rowlists_from_ranges(
+        sim.grid, x, sim.nlocal, caps.nlocal_pad, caps.ghost, rcap,
+        p.cutneigh, ucol=8, kcap=80, ccap=256,
+    )
+    assert not bool(ovf_a) and not bool(ovf_b)
+    nreal = (sim.nlocal + 15) // 16
+    np.testing.assert_array_equal(
+        np.asarray(num_b)[:nreal], np.asarray(num_a)[:nreal]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(rows_b)[:nreal], np.asarray(rows_a)[:nreal]
+    )
+    assert int(np.asarray(num_b)[nreal:].sum()) == 0
+
+
 @pytest.mark.slow
 def test_rowlist_short_trajectory_matches_planar():
     base = dict(nx=3, ny=3, nz=3, ntimes=20, reneigh_every=5)

@@ -81,6 +81,19 @@ def main():
 
     print("row build    : %.3f ms" % (timeit(f_rows, st.x) * 1e3))
 
+    if getattr(sim, "_rowbuild_ranges", False):
+        from mdbench_tpu.ops.verlet import derive_rowlists_from_ranges
+
+        def f_ranges(x):
+            rows, numrows, ncmax, rovf = derive_rowlists_from_ranges(
+                sim.grid, x, sim.nlocal, caps.nlocal_pad, caps.ghost,
+                sim.rcap, p.cutneigh, ucol=sim.ucl, kcap=sim.ukr,
+                ccap=sim.ccap,
+            )
+            return rows
+
+        print("range build  : %.3f ms" % (timeit(f_ranges, st.x) * 1e3))
+
     if sim.rbuckets is not None:
         rows0 = st.nlist.rows
         nr0 = st.nlist.numrows

@@ -121,17 +121,38 @@ class ClusterDomainSimulation:
             self.slab_prd, c, params.rho, GROUP
         )
 
-        # capacities (per device)
+        # capacities (per device): size the cluster window from the
+        # ACTUAL t=0 per-device column occupancy (the single-chip
+        # engine's bincount scheme, engine_cluster.py:190-196) — the
+        # earlier mean-based estimate compounded two ceils per column
+        # into ~1.8x slack, and EVERY per-step cost (kernel padding,
+        # permutation gathers, plane copies, exchange payloads) scales
+        # with ncl_pad (chip-measured: domain step 4.54 ms vs single
+        # 1.85 at 30208 vs 16384 slots for the same 131k atoms).
+        # Migration drift is absorbed by the 1.18 margin + the
+        # overflow-flag grow-and-retry backstop.
         per_dev = self.natoms / ndev
         sx, sy = self.grid.col_size
         ncx, ncy = self.grid.col_dims
-        mean_col = per_dev / (ncx * ncy)
-        cl_per_col = math.ceil(math.ceil(mean_col * 1.35 / 8.0) / GROUP) * GROUP
         blk = 8 * GROUP
+        n_cl_max = 0
+        for d in range(ndev):
+            m = (x[:, 0] >= d * self.slab_w) & (
+                x[:, 0] < (d + 1) * self.slab_w
+            )
+            xs = x[m]
+            cx = np.clip(
+                ((xs[:, 0] - d * self.slab_w) / sx).astype(np.int64),
+                0, ncx - 1,
+            )
+            cy = np.clip((xs[:, 1] / sy).astype(np.int64), 0, ncy - 1)
+            counts = np.bincount(cx * ncy + cy, minlength=ncx * ncy)
+            cl_col = np.ceil(np.ceil(counts / 8.0) / GROUP) * GROUP
+            n_cl_max = max(n_cl_max, int(cl_col.sum()))
         self.ncl_pad = max(
-            (int(ncx * ncy * cl_per_col) + blk - 1) // blk * blk, blk
+            (int(n_cl_max * 1.18) + blk - 1) // blk * blk, blk
         )
-        self.acap = int(math.ceil(per_dev * 1.3 / 8)) * 8 + 8
+        self.acap = int(math.ceil(per_dev * 1.12 / 8)) * 8 + 8
         # local y/z ghost cluster rows
         gfrac = (1 + 2 * c / params.yprd) * (1 + 2 * c / params.zprd) - 1.0
         self.gcap_rows = (

@@ -86,7 +86,7 @@ def plan_capacities(params: Params, ndev: int, natoms: int) -> dict:
     estimate so configs can be validated against HBM before launching."""
     slab_w = params.xprd / ndev
     per_dev = natoms / ndev
-    acap = int(math.ceil(per_dev * 1.25 / 8)) * 8 + 8
+    acap = int(math.ceil(per_dev * 1.10 / 8)) * 8 + 8
     c = params.cutneigh
     gfrac = (1 + 2 * c / params.yprd) * (1 + 2 * c / params.zprd) - 1.0
     gcap = int(math.ceil(acap * gfrac * 1.6)) + 64
@@ -161,7 +161,10 @@ class DomainSimulation:
         v = adjust_thermo(params, self.scales, v, self.natoms)
 
         per_dev = self.natoms / ndev
-        self.acap = int(math.ceil(per_dev * 1.25 / 8)) * 8 + 8
+        # 1.10 margin: the rowlist kernel + lists pad to acap, so
+        # slack taxes every step; per-rank melt density drift is
+        # ~2% and the overflow-flag grow-retry backstops
+        self.acap = int(math.ceil(per_dev * 1.10 / 8)) * 8 + 8
         c = params.cutneigh
         # y/z ghosts of a slab
         gfrac = (1 + 2 * c / params.yprd) * (1 + 2 * c / params.zprd) - 1.0

@@ -542,6 +542,7 @@ def derive_rowlists_from_ranges(
     kcap: int = 40,  # candidate row-RANGES per unit (checked)
     ccap: int = 128,  # candidate rows per unit before the exact prune
     chunk: int = 512,
+    _probe_stage=None,  # tools/r4_vranges.py: early-return a stage
 ):
     """Packed 16-atom-row lists via CONTIGUOUS ROW RANGES — the
     sort-free rebuild. Exploits the engine's sortedness invariants:
@@ -775,12 +776,17 @@ def derive_rowlists_from_ranges(
         return cand, total, nk
 
     starts_u = jnp.arange(0, nu, chunk, dtype=jnp.int32)
+    if _probe_stage == "tables":
+        return tab, tab[:, 0], jnp.zeros((4,), jnp.int32), \
+            jnp.asarray(False)
     cands, totals, nks = jax.lax.map(chunk_fn, starts_u)
     cand = cands.reshape(nu, ccap)
     total = totals.reshape(nu)
     nk = nks.reshape(nu)
     covf = jnp.any(total > ccap)
     kovf = jnp.any(nk > kcap)
+    if _probe_stage == "cand":
+        return cand, total, jnp.zeros((4,), jnp.int32), covf
 
     # ---- exact prune + compaction (same as derive_rowlists_from_cells) --
     def prune_fn(u0):

@@ -44,6 +44,7 @@ from mdbench_tpu.ops.cluster import (
     bin_clusters,
     build_cluster_pairs,
     build_clusters,
+    compute_bboxes,
     derive_ilists,
     make_cluster_grid,
     make_j16_bboxes,
@@ -423,6 +424,76 @@ class ClusterDomainSimulation:
         # sentinel cluster slots), so atom_id cannot be used to count
         return clusters, (vxc, vyc, vzc), halo, (map_l, map_r), pairs, nloc, ovf
 
+    def _rebuild_cheap_dev(self, cl, nloc):
+        """List rebuild WITHOUT re-chop or migration — the port of
+        engine_cluster._reneigh_step_cheap's rebuild to the slab frame.
+        Cluster membership is kept between resort boundaries, so the
+        flatten + migrate + re-chop + velocity-regather (the bulk of
+        the 19.3 ms full domain rebuild at 131k) is skipped; only
+        ghosts, exports, bins, pair lists, and exact lists are rebuilt
+        from CURRENT coordinates. y/z wrap is j16-PAIR-granular (the
+        single engine's invariant); x NEVER wraps here — clusters that
+        drift past a slab face stay owned until the next full rebuild's
+        migration, exactly like the single engine's atoms between wrap
+        points, and the bbox-driven exports/bins cover them."""
+        p = self.params
+        npad = self.ncl_pad
+        dtype = cl.xc.dtype
+        prd = jnp.asarray(self.slab_prd, dtype)
+        pbc_on = jnp.asarray([0.0, p.pbc_y, p.pbc_z], dtype)
+        bbox_l = compute_bboxes(cl.xc[:npad], cl.yc[:npad], cl.zc[:npad])
+        bb16_l = make_j16_bboxes(bbox_l)
+
+        def wrap_shift(lo, hi, L, on):
+            mid = 0.5 * (lo + hi)
+            return jnp.repeat(-L * jnp.floor(mid / L) * on, 2)
+
+        shx = wrap_shift(bb16_l[:, 0], bb16_l[:, 1], prd[0], pbc_on[0])
+        shy = wrap_shift(bb16_l[:, 2], bb16_l[:, 3], prd[1], pbc_on[1])
+        shz = wrap_shift(bb16_l[:, 4], bb16_l[:, 5], prd[2], pbc_on[2])
+        xc = cl.xc.at[:npad].add(shx[:, None])
+        yc = cl.yc.at[:npad].add(shy[:, None])
+        zc = cl.zc.at[:npad].add(shz[:, None])
+        sh8 = jnp.stack(
+            [shx, shx, shy, shy, shz, shz,
+             jnp.zeros_like(shx), jnp.zeros_like(shx)], axis=1
+        )
+        bbox = cl.bbox.at[:npad].set(bbox_l + sh8)
+        cl = cl._replace(xc=xc, yc=yc, zc=zc, bbox=bbox)
+
+        halo = setup_cluster_pbc(
+            cl, npad, npad, self.gcap_rows, self.slab_prd,
+            (0, p.pbc_y, p.pbc_z), p.cutneigh,
+        )
+        cl = update_cluster_pbc(cl, halo, npad, update_bbox=True)
+        map_l, map_r, ovf_x = self._export_maps(cl.bbox)
+        cl = self._exchange_rows(cl, map_l, map_r, True)
+        bbox16 = make_j16_bboxes(cl.bbox)
+        cells, bb_cells, (ovf_b, ovf_z) = bin_clusters(self.grid, bbox16)
+        pairs = build_cluster_pairs(
+            self.grid, cells, bb_cells, cl.bbox, npad, GROUP,
+            self.list_cap, need_ranges=not self._ilist,
+        )
+        if self._ilist:
+            pairs = derive_ilists(
+                cl, pairs, npad, GROUP, p.cutneigh, self.icap,
+                share=self.ishare,
+            )
+            if self.buckets is not None:
+                from mdbench_tpu.ops.cluster import attach_bucket_maps
+
+                pairs = attach_bucket_maps(
+                    pairs, npad, self.ishare, cl.xc.shape[0],
+                    *self.buckets,
+                )
+        iovf = pairs.iovf if pairs.iovf is not None else jnp.asarray(False)
+        f_ = jnp.asarray(False)
+        ovf = jnp.stack([
+            f_, f_, halo.overflow, ovf_x, ovf_b, ovf_z,
+            pairs.overflow[0], pairs.overflow[1], iovf,
+        ])
+        return cl, halo, (map_l, map_r), pairs, ovf
+
     def _flatten_dev(self, clusters, vxc, vyc, vzc):
         inv = clusters.inv_map
         dtype = clusters.xc.dtype
@@ -642,7 +713,7 @@ class ClusterDomainSimulation:
                 )
                 return carry, ts
 
-            def reneigh_step(carry):
+            def reneigh_step(carry, full):
                 cl, vxc, vyc, vzc, fxc, fyc, fzc, nloc, halo, maps, pairs, ovf = carry
                 vxc = vxc + dtf * fxc
                 vyc = vyc + dtf * fyc
@@ -651,10 +722,15 @@ class ClusterDomainSimulation:
                 yc = cl.yc.at[: self.ncl_pad].add(dt * vyc)
                 zc = cl.zc.at[: self.ncl_pad].add(dt * vzc)
                 cl = cl._replace(xc=xc, yc=yc, zc=zc)
-                x_flat, v_flat = self._flatten_dev(cl, vxc, vyc, vzc)
-                cl, (vxc, vyc, vzc), halo, maps, pairs, nloc, ovf2 = (
-                    self._reneighbor_dev(x_flat, v_flat, nloc)
-                )
+                if full:
+                    x_flat, v_flat = self._flatten_dev(cl, vxc, vyc, vzc)
+                    cl, (vxc, vyc, vzc), halo, maps, pairs, nloc, ovf2 = (
+                        self._reneighbor_dev(x_flat, v_flat, nloc)
+                    )
+                else:
+                    cl, halo, maps, pairs, ovf2 = (
+                        self._rebuild_cheap_dev(cl, nloc)
+                    )
                 fxc, fyc, fzc = self._force_dev(cl, pairs, halo, maps)
                 vxc = vxc + dtf * fxc
                 vyc = vyc + dtf * fyc
@@ -665,9 +741,9 @@ class ClusterDomainSimulation:
                     pairs, ovf | ovf2,
                 ), t
 
-            def interval(carry, _):
+            def interval(carry, full):
                 carry, ts = plain_scan(carry, every - 1)
-                carry, t_last = reneigh_step(carry)
+                carry, t_last = reneigh_step(carry, full)
                 return carry, jnp.concatenate([ts, t_last[None]])
 
             cl, (vxc, vyc, vzc), halo, maps, pairs, nloc, ovf0 = (
@@ -678,7 +754,30 @@ class ClusterDomainSimulation:
                 cl, vxc, vyc, vzc, fxc, fyc, fzc, nloc, halo, maps,
                 pairs, ovf0,
             )
-            carry, temps = jax.lax.scan(interval, carry, None, length=n_int)
+            # full-vs-cheap rebuild cadence (engine_cluster._make_run_fn
+            # segment scheme): the full re-chop + MIGRATION fires only
+            # at resort_every boundaries; every other rebuild is the
+            # cheap fixed-membership one. Consecutive same-kind
+            # intervals roll into one lax.scan.
+            resort = self.params.resort_every if self.params.sort_atoms else 0
+            full_flags = [
+                bool(resort <= 0 or ((i + 1) * every) % resort == 0)
+                for i in range(n_int)
+            ]
+            segments = []
+            for fl in full_flags:
+                if segments and segments[-1][0] == fl:
+                    segments[-1][1] += 1
+                else:
+                    segments.append([fl, 1])
+            tparts = []
+            for fl, count in segments:
+                carry, tps = jax.lax.scan(
+                    lambda s, _, fl=fl: interval(s, fl), carry, None,
+                    length=count,
+                )
+                tparts.append(tps.reshape(-1))
+            temps = jnp.concatenate(tparts)[None, :]
             # final flat atoms ride out so the calibration probe (and
             # future checkpoint hooks) can observe the melted state
             xf, vf = self._flatten_dev(carry[0], carry[1], carry[2], carry[3])

@@ -873,22 +873,34 @@ class ClusterDomainSimulation:
 
         def observe_dev(x, v, nloc):
             x, v, nloc = x[0], v[0], nloc[0]
-            _cl, _v3, _halo, _maps, pairs, _n, _ovf = (
+            cl_, _v3, halo_, maps_, pairs, _n, _ovf = (
                 self._reneighbor_dev(x, v, nloc)
             )
-            return pairs.nji[None], pairs.nj[None]
+            sent16 = self.nrows_cl // 2 - 1
+            nx16 = jnp.maximum(
+                jnp.sum(maps_[0] != sent16), jnp.sum(maps_[1] != sent16)
+            ).astype(jnp.int32)
+            return (pairs.nji[None], pairs.nj[None],
+                    halo_.nghost[None], nx16[None])
 
         obs = jax.jit(jax.shard_map(
             observe_dev, mesh=self.mesh,
-            in_specs=(spec, spec, spec), out_specs=(spec, spec),
+            in_specs=(spec, spec, spec), out_specs=(spec,) * 4,
             check_vma=False,
         ))
-        nji, nj = obs(
+        nji, nj, ng16, nx16 = obs(
             jnp.asarray(out.x_flat), jnp.asarray(out.v_flat),
             jnp.asarray(out.nlocal),
         )
         nji = np.asarray(nji)  # (ndev, units)
         nj = np.asarray(nj)
+        # ghost/export caps from observed melted counts (single-chip
+        # ghost-cap lesson): update_cluster_pbc + _exchange_rows
+        # gather/write the FULL padded blocks every step
+        self.gcap_rows = max(
+            (int(np.asarray(ng16).max() * 2 * 1.25) + 15) // 16 * 16, 64
+        )
+        self.xcap16 = max(int(np.asarray(nx16).max() * 1.25) + 16, 64)
         # wider margins than the single-chip engine: the probe melts only
         # one interval, the timed run drifts for ntimes
         self.icap = max(

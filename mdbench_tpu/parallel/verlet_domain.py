@@ -668,17 +668,22 @@ class DomainSimulation:
 
         def observe_dev(x, v, nloc):
             x, v, nloc = x[0], v[0], nloc[0]
-            (_x, _v, _n, _h, _bl, _br, nlist, _ovf, stats) = (
+            (_x, _v, _n, h, bl, br, nlist, _ovf, stats) = (
                 self._reneighbor_dev(x, v, nloc, with_stats=True)
             )
-            return nlist.numneigh[None], stats[None]
+            sent = _x.shape[0] - 1
+            nb = jnp.maximum(
+                jnp.sum(bl != sent), jnp.sum(br != sent)
+            ).astype(jnp.int32)
+            return (nlist.numneigh[None], stats[None],
+                    h.nghost[None], nb[None])
 
         obs = jax.jit(jax.shard_map(
             observe_dev, mesh=self.mesh,
-            in_specs=(spec, spec, spec), out_specs=(spec, spec),
+            in_specs=(spec, spec, spec), out_specs=(spec,) * 4,
             check_vma=False,
         ))
-        nr, st = obs(state.x, state.v, state.nlocal)
+        nr, st, ng, nb = obs(state.x, state.v, state.nlocal)
         nr = np.asarray(nr)  # (ndev, units)
         st = np.asarray(st)  # (ndev, 4)
         self.rcap = max((int(nr.max() * 1.3) + 7) // 8 * 8, 16)
@@ -686,6 +691,16 @@ class DomainSimulation:
         self.ucl = max(int(st[:, 1].max()) + 1, 2)
         self.zw = max(int(st[:, 2].max()) + 3, 3)
         self.ubr = max(int(st[:, 3].max()) + 2, 4)
+        # ghost/border caps from the observed melted counts: update_pbc
+        # + _exchange_borders gather/write the FULL padded blocks every
+        # step (the single-chip ghost-cap lesson: 1.83 -> 0.33 ms/step
+        # at 131k). 1.25x margin; overflow grow-retry backstops.
+        self.gcap = max(
+            (int(np.asarray(ng).max() * 1.25) + 15) // 16 * 16, 256
+        )
+        self.bcap = max(
+            (int(np.asarray(nb).max() * 1.25) + 15) // 16 * 16, 128
+        )
         if self._rl_backend == "pallas":
             from mdbench_tpu.ops.cluster import plan_capacity_buckets
 

@@ -763,15 +763,44 @@ def derive_rowlists_from_ranges(
         )
         cum = jnp.cumsum(ln, axis=1) - ln  # exclusive
         total = cum[:, -1] + ln[:, -1]
-        # K-way select materialization: slot t belongs to range k iff
-        # cum_k <= t < cum_k + len_k; its id = lo2_k + t - cum_k
-        end = cum + ln
-        t3 = lpos[None, None, :]
-        in_k = (t3 >= cum[:, :, None]) & (t3 < end[:, :, None])
-        cand = jnp.sum(
-            jnp.where(in_k, lo2[:, :, None] - cum[:, :, None], 0),
+        # materialize cand(t) = t + off(t), where off is the piecewise-
+        # constant offset lo2_k - cum_k of the range covering slot t.
+        # Delta form: scatter each NON-EMPTY range's offset JUMP onto
+        # its start slot via one (K, ccap) equality select, then a lane
+        # cumsum — ~3 ops per (K, ccap) lane vs ~5 for the direct
+        # two-compare window select (the big op of the assembly).
+        # Empty ranges share their cum with the next range; their delta
+        # is forced to 0 and the last-valid-offset prefix fill makes
+        # the non-empty jumps chain across them.
+        off = lo2 - cum
+        valid_k = ln > 0
+        offf = jnp.where(valid_k, off, 0)
+        seen = valid_k
+        sh = 1
+        Kw = off.shape[1]
+        while sh < Kw:
+            offp = jnp.concatenate(
+                [jnp.zeros((chunk, sh), off.dtype), offf[:, :-sh]],
+                axis=1,
+            )
+            seenp = jnp.concatenate(
+                [jnp.zeros((chunk, sh), bool), seen[:, :-sh]], axis=1
+            )
+            offf = jnp.where(seen, offf, offp)
+            seen = seen | seenp
+            sh *= 2
+        prev = jnp.concatenate(
+            [jnp.zeros((chunk, 1), off.dtype), offf[:, :-1]], axis=1
+        )
+        delta = jnp.where(valid_k, off - prev, 0)
+        dmat = jnp.sum(
+            jnp.where(
+                lpos[None, None, :] == cum[:, :, None],
+                delta[:, :, None], 0,
+            ),
             axis=1,
-        ) + t3[:, 0, :]
+        )  # (chunk, ccap)
+        cand = lpos[None, :] + jnp.cumsum(dmat, axis=1)
         cand = jnp.where(lpos[None, :] < total[:, None], cand, sent16)
         return cand, total, nk
 

@@ -846,10 +846,20 @@ class ClusterDomainSimulation:
                     if flags[7] else self.grid.drift_xy
                 ),
             )
-        # a static bucket plan is sized for the OLD unit count; growth
-        # may change ncl_pad, so drop the plan (flat-capacity force)
-        # rather than carry a stale-sized permutation
-        self.buckets = None
+        # a static bucket plan is sized for the unit count, so only
+        # ncl_pad growth invalidates it; an icap-only growth just
+        # widens the plan's top tier (engine.py _grow_caps scheme).
+        # Dropping the plan on ANY flag made a mid-run list_cap
+        # overflow silently fall back to the flat-capacity force for
+        # the whole retried run (chip-measured at 131k mesh(1)).
+        if flags[1]:
+            self.buckets = None
+        elif self.buckets is not None and flags[8]:
+            sizes, caps = self.buckets
+            self.buckets = (
+                sizes, tuple(min(c, self.icap) for c in caps[:-1])
+                + (self.icap,)
+            )
         self.nrows_cl = (
             self.ncl_pad + self.gcap_rows + 4 * self.xcap16 + 2
         )
@@ -903,10 +913,15 @@ class ClusterDomainSimulation:
         self.xcap16 = max(int(np.asarray(nx16).max() * 1.25) + 16, 64)
         # wider margins than the single-chip engine: the probe melts only
         # one interval, the timed run drifts for ntimes
+        # margins sized for the CHEAP-rebuild era: clusters drift for a
+        # full resort_every interval (not just reneigh_every) before a
+        # re-chop, so the probe's one-interval maxima understate the
+        # steady state more than on the single-chip engine (a mid-run
+        # overflow costs a full retried run)
         self.icap = max(
-            (int(nji.max() * 1.25) + 2 + 7) // 8 * 8, 16
+            (int(nji.max() * 1.35) + 2 + 7) // 8 * 8, 16
         )
-        self.list_cap = max((int(nj.max() * 1.3) + 7) // 8 * 8, 32)
+        self.list_cap = max((int(nj.max() * 1.45) + 7) // 8 * 8, 32)
         if not self.interpret:
             from mdbench_tpu.ops.cluster import plan_capacity_buckets
 

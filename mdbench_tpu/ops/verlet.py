@@ -666,9 +666,18 @@ def derive_rowlists_from_ranges(
     base16g = nlocal_pad // 16
     while nu % chunk != 0 and chunk > 1:
         chunk //= 2
+    # assembly chunk: the range stages are many SMALL vector ops whose
+    # per-op dispatch floor dominates at 512-unit chunks (measured: the
+    # cheap delta-select rewrite changed nothing because lane math was
+    # never the bound); their intermediates are (chunk, K) / (chunk,
+    # ccap)-sized, so one big chunk is safe — unlike the exact prune,
+    # whose (chunk, 16, ccap*16) distance block must stay small.
+    chunk_a = nu
+    while nu % chunk_a != 0 and chunk_a > 1:
+        chunk_a //= 2
+    chunk_a = min(chunk_a, 8192)
     lane_z = jnp.arange(d2 + 1, dtype=jnp.int32)
     lpos = jnp.arange(ccap, dtype=jnp.int32)
-    kpos = jnp.arange(kcap, dtype=jnp.int32)
     RBIG = jnp.int32(1 << 28)  # empty-range sentinel (sorts last)
     packed48 = jnp.concatenate(
         [x[:, 0].reshape(-1, 16), x[:, 1].reshape(-1, 16),
@@ -677,14 +686,14 @@ def derive_rowlists_from_ranges(
     )
 
     def chunk_fn(u0):
-        us = u0 + jnp.arange(chunk, dtype=jnp.int32)
-        dc = dcol[us]  # (chunk, ucol)
+        us = u0 + jnp.arange(chunk_a, dtype=jnp.int32)
+        dc = dcol[us]  # (chunk_a, ucol)
         zl = dzlo[us]
         zh = dzhi[us]
         cs = jnp.where(
             dc[:, :, None] < big, dc[:, :, None] + coloff[None, None, :],
             ncols,
-        )  # (chunk, ucol, 9) flat stencil column ids (ncols = dead row)
+        )  # (chunk_a, ucol, 9) flat stencil column ids (ncols = dead row)
         cs = jnp.clip(cs, 0, ncols)
         # analytic xy gap: unit bbox vs the stencil column's rectangle
         # (bin b covers [(b-1)*bs, b*bs) after the +1 margin shift)
@@ -706,10 +715,10 @@ def derive_rowlists_from_ranges(
         )
         keepc = (gx * gx + gy * gy <= cutsq) & (cs < ncols)
 
-        rows_t = tab[cs.reshape(chunk, K9)].reshape(
-            chunk, ucol, 9, 2 * (d2 + 1)
+        rows_t = tab[cs.reshape(chunk_a, K9)].reshape(
+            chunk_a, ucol, 9, 2 * (d2 + 1)
         )  # ONE row gather per stencil slot
-        z0 = jnp.maximum(zl - 1, 0)[:, :, None]  # (chunk, ucol, 1)
+        z0 = jnp.maximum(zl - 1, 0)[:, :, None]  # (chunk_a, ucol, 1)
         z1 = jnp.minimum(zh + 1, d2 - 1)[:, :, None]
         sel0 = (lane_z[None, None, None, :] == z0[..., None])
         sel1 = (lane_z[None, None, None, :] == (z1 + 1)[..., None])
@@ -717,7 +726,7 @@ def derive_rowlists_from_ranges(
         def pick(block, sel):
             return jnp.sum(
                 jnp.where(sel, block, 0), axis=3
-            )  # (chunk, ucol, 9)
+            )  # (chunk_a, ucol, 9)
 
         sl_blk = rows_t[:, :, :, : d2 + 1]
         sg_blk = rows_t[:, :, :, d2 + 1 :]
@@ -737,10 +746,10 @@ def derive_rowlists_from_ranges(
         llo, lhi = to_rows(a0, a1, 0)
         glo, ghi = to_rows(g0, g1, base16g)
         rlo = jnp.concatenate(
-            [llo.reshape(chunk, K9), glo.reshape(chunk, K9)], axis=1
+            [llo.reshape(chunk_a, K9), glo.reshape(chunk_a, K9)], axis=1
         )
         rhi = jnp.concatenate(
-            [lhi.reshape(chunk, K9), ghi.reshape(chunk, K9)], axis=1
+            [lhi.reshape(chunk_a, K9), ghi.reshape(chunk_a, K9)], axis=1
         )
         # sort ranges by lo; non-empty count; truncate to kcap
         rlo_s, rhi_s = jax.lax.sort(
@@ -755,7 +764,7 @@ def derive_rowlists_from_ranges(
             jnp.where(rlo_s < RBIG, rhi_s, 0), axis=1
         )
         pm = jnp.concatenate(
-            [jnp.zeros((chunk, 1), jnp.int32), cm[:, :-1]], axis=1
+            [jnp.zeros((chunk_a, 1), jnp.int32), cm[:, :-1]], axis=1
         )
         lo2 = jnp.maximum(rlo_s, jnp.minimum(pm, rhi_s))
         ln = jnp.where(
@@ -780,17 +789,17 @@ def derive_rowlists_from_ranges(
         Kw = off.shape[1]
         while sh < Kw:
             offp = jnp.concatenate(
-                [jnp.zeros((chunk, sh), off.dtype), offf[:, :-sh]],
+                [jnp.zeros((chunk_a, sh), off.dtype), offf[:, :-sh]],
                 axis=1,
             )
             seenp = jnp.concatenate(
-                [jnp.zeros((chunk, sh), bool), seen[:, :-sh]], axis=1
+                [jnp.zeros((chunk_a, sh), bool), seen[:, :-sh]], axis=1
             )
             offf = jnp.where(seen, offf, offp)
             seen = seen | seenp
             sh *= 2
         prev = jnp.concatenate(
-            [jnp.zeros((chunk, 1), off.dtype), offf[:, :-1]], axis=1
+            [jnp.zeros((chunk_a, 1), off.dtype), offf[:, :-1]], axis=1
         )
         delta = jnp.where(valid_k, off - prev, 0)
         dmat = jnp.sum(
@@ -799,16 +808,17 @@ def derive_rowlists_from_ranges(
                 delta[:, :, None], 0,
             ),
             axis=1,
-        )  # (chunk, ccap)
+        )  # (chunk_a, ccap)
         cand = lpos[None, :] + jnp.cumsum(dmat, axis=1)
         cand = jnp.where(lpos[None, :] < total[:, None], cand, sent16)
         return cand, total, nk
 
+    starts_a = jnp.arange(0, nu, chunk_a, dtype=jnp.int32)
     starts_u = jnp.arange(0, nu, chunk, dtype=jnp.int32)
     if _probe_stage == "tables":
         return tab, tab[:, 0], jnp.zeros((4,), jnp.int32), \
             jnp.asarray(False)
-    cands, totals, nks = jax.lax.map(chunk_fn, starts_u)
+    cands, totals, nks = jax.lax.map(chunk_fn, starts_a)
     cand = cands.reshape(nu, ccap)
     total = totals.reshape(nu)
     nk = nks.reshape(nu)

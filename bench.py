@@ -60,7 +60,10 @@ def main() -> int:
     # DP/verlet is the parity axis)
     params = Params(precision="sp", scheme="cluster", dense_thermo=False)
     sim = ClusterSimulation(params)
-    out = sim.run()
+    # median of 3 executions of the same compiled program: controls the
+    # ~7% tunnel/host run-to-run swing the single-shot protocol exposed
+    # (round 4: builder 57.3, driver artifact 53.3, identical code)
+    out = sim.run(repeats=3)
     check_golden(out.temps, params.reneigh_every)
     mups = 1e-6 * sim.natoms * params.ntimes / out.total_time
 

@@ -357,9 +357,17 @@ def main(argv=None) -> int:
             max(out.total_time - force_total - neigh_total, 0.0),
         )
     )
-    # FORCE/NEIGH here are out-of-band per-call estimates x call counts
-    # (the whole run is ONE fused program — in-loop section timers would
-    # break the scan; reference measures in-loop, main.c:250-287).
+    # Always label which timing mode produced the FORCE/NEIGH split
+    # (TOTAL is a measured wall clock in both modes). The reference
+    # measures in-loop (main.c:250-287); our whole run is ONE fused
+    # program, so the default split is out-of-band estimates and the
+    # report must say so unconditionally, not only on disagreement.
+    print(
+        "(timers: diff — in-loop differential measurement)"
+        if params.timers == "diff"
+        else "(timers: est — FORCE/NEIGH are out-of-band per-call "
+        "estimates x call counts; TOTAL is measured)"
+    )
     # Cross-check against the real TOTAL and say so when they disagree.
     est = force_total + neigh_total
     if est > out.total_time * 1.15:

@@ -684,37 +684,16 @@ class DomainSimulation:
             check_vma=False,
         ))
         nr, st, ng, nb = obs(state.x, state.v, state.nlocal)
-        nr = np.asarray(nr)  # (ndev, units)
-        st = np.asarray(st)  # (ndev, 4)
-        self.rcap = max((int(nr.max() * 1.3) + 7) // 8 * 8, 16)
-        self.ccap = max((int(st[:, 0].max() * 1.3) + 7) // 8 * 8, 24)
-        self.ucl = max(int(st[:, 1].max()) + 1, 2)
-        self.zw = max(int(st[:, 2].max()) + 3, 3)
-        self.ubr = max(int(st[:, 3].max()) + 2, 4)
-        # ghost/border caps from the observed melted counts: update_pbc
-        # + _exchange_borders gather/write the FULL padded blocks every
-        # step (the single-chip ghost-cap lesson: 1.83 -> 0.33 ms/step
-        # at 131k). 1.25x margin; overflow grow-retry backstops.
-        self.gcap = max(
-            (int(np.asarray(ng).max() * 1.25) + 15) // 16 * 16, 256
+        from mdbench_tpu.parallel.common import (
+            apply_rowlist_caps,
+            calibrated_block_cap,
         )
-        self.bcap = max(
-            (int(np.asarray(nb).max() * 1.25) + 15) // 16 * 16, 128
-        )
-        if self._rl_backend == "pallas":
-            from mdbench_tpu.ops.cluster import plan_capacity_buckets
 
-            # plan from the per-rank worst case across devices: sorting
-            # each device's numrows and taking the rank-wise max yields
-            # a distribution that dominates every device, so one STATIC
-            # plan (shard_map needs identical shapes on all devices)
-            # holds mesh-wide; membership stays argsort-adaptive per
-            # device per rebuild
-            nr_sorted = np.sort(nr, axis=1)
-            self.rbuckets = plan_capacity_buckets(
-                nr_sorted.max(axis=0), self.rcap, 2, margin=4,
-                zero_tier=True,
-            )
+        self.rbuckets = apply_rowlist_caps(
+            self, nr, st, want_buckets=self._rl_backend == "pallas"
+        )
+        self.gcap = calibrated_block_cap(int(np.asarray(ng).max()), 256)
+        self.bcap = calibrated_block_cap(int(np.asarray(nb).max()), 128)
         self._fix_row_layout()
         self._init_host_state(*self._xv_init)
 

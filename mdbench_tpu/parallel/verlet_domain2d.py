@@ -136,6 +136,10 @@ class Domain2DSimulation:
         )
         self.rcap, self.ccap, self.ucl, self.ubr = 64, 128, 6, 8
         self.zw = 5  # z-run width (unit-column zspan + 2, + drift)
+        # melted-probe calibration tightens the generous initials
+        # before the timed run (parallel/common.apply_rowlist_caps)
+        self._calibrated = False
+        self._probe_state = None
         self._fix_row_layout()
         # bin capacity: 2.5x the mean — FCC lattice planes alias against
         # the bin boundaries, so some bins run well above the mean and the
@@ -354,7 +358,7 @@ class Domain2DSimulation:
         cz = jnp.where(live[:, 0] & (cz >= p.zprd), cz - p.zprd, cz)
         return x.at[:, 2].set(cz)
 
-    def _reneighbor_dev(self, x, v, nloc):
+    def _reneighbor_dev(self, x, v, nloc, with_stats: bool = False):
         x = self._wrap_z(x, nloc)
         x, v, nloc, ovf_mx = self._migrate_axis(
             x, v, nloc, AX, self.px, self.wx, 0
@@ -369,10 +373,11 @@ class Domain2DSimulation:
         byd, byu, ovf_y = self._build_y_maps(x)
         x = self._exchange_y(x, byd, byu)
         cl = build_cells(self.grid, x)
+        stats = None
         if self._rowlist:
             from mdbench_tpu.state import NeighborList
 
-            rows, numrows, _nc, rovf = derive_rowlists_from_cells(
+            rows, numrows, stats, rovf = derive_rowlists_from_cells(
                 self.grid, cl, x, nloc, self.acap, self.rcap,
                 self.params.cutneigh, brcap=self.ubr, ucol=self.ucl, zw=self.zw,
                 ccap=self.ccap,
@@ -389,6 +394,8 @@ class Domain2DSimulation:
         ovf = jnp.stack(
             [ovf_mx | ovf_my, ovf_g, ovf_y, cl.overflow | nlist.overflow]
         )
+        if with_stats:
+            return x, v, nloc, halo, bxl, bxr, byd, byu, nlist, ovf, stats
         return x, v, nloc, halo, bxl, bxr, byd, byu, nlist, ovf
 
     # ---- the sharded run ---------------------------------------------------
@@ -537,8 +544,10 @@ class Domain2DSimulation:
             f = force(x, nlist, halo, bxl, bxr, byd, byu)
             carry = (x, v, f, nloc, halo, bxl, bxr, byd, byu, nlist, ovf)
             carry, temps = jax.lax.scan(interval, carry, None, length=n_int)
-            nloc, ovf = carry[3], carry[10]
+            x, v, nloc, ovf = carry[0], carry[1], carry[3], carry[10]
             return (
+                x[None, None],
+                v[None, None],
                 nloc[None, None],
                 jnp.any(ovf)[None, None],
                 temps.reshape(1, 1, -1),
@@ -548,7 +557,7 @@ class Domain2DSimulation:
         sharded = jax.shard_map(
             dev_body, mesh=self.mesh,
             in_specs=(spec, spec, spec),
-            out_specs=(spec, spec, spec),
+            out_specs=(spec,) * 5,
             check_vma=False,
         )
         return jax.jit(sharded)
@@ -572,10 +581,72 @@ class Domain2DSimulation:
         )
         self._init_host_state(*self._xv_init)
 
+    def _calibrate(self, ntimes: int, _retry: int = 4) -> None:
+        """One-shot cap calibration on MELTED data — the same probe-
+        interval protocol as the 1-D slab engine (verlet_domain.py
+        _calibrate), with the cap-setting hoisted into parallel/common
+        (apply_rowlist_caps / calibrated_block_cap) so the margins
+        cannot drift between the engines. Pencil-specific extras: the
+        staged x/y export caps are calibrated from the observed
+        non-sentinel export-map occupancy."""
+        if self._calibrated or not self._rowlist:
+            return
+        self._calibrated = True
+        every = self.params.reneigh_every
+        if ntimes < every:
+            return
+        self._run_raw(every, _retry=_retry)
+        xs, vs, nlocs = self._probe_state
+        spec = P(AX, AY)
+        sent = self.nrows - 1
+
+        def observe_dev(x, v, nloc):
+            out = self._reneighbor_dev(
+                x[0, 0], v[0, 0], nloc[0, 0], with_stats=True
+            )
+            halo, bxl, bxr, byd, byu, nlist, stats = (
+                out[3], out[4], out[5], out[6], out[7], out[8], out[10]
+            )
+            nbx = jnp.maximum(
+                jnp.sum(bxl != sent), jnp.sum(bxr != sent)
+            ).astype(jnp.int32)
+            nby = jnp.maximum(
+                jnp.sum(byd != sent), jnp.sum(byu != sent)
+            ).astype(jnp.int32)
+            return (
+                nlist.numneigh[None, None], stats[None, None],
+                halo.nghost[None, None], nbx[None, None], nby[None, None],
+            )
+
+        obs = jax.jit(jax.shard_map(
+            observe_dev, mesh=self.mesh,
+            in_specs=(spec, spec, spec), out_specs=(spec,) * 5,
+            check_vma=False,
+        ))
+        nr, st, ng, nbx, nby = obs(xs, vs, nlocs)
+        from mdbench_tpu.parallel.common import (
+            apply_rowlist_caps,
+            calibrated_block_cap,
+        )
+
+        ndev = self.px * self.py
+        apply_rowlist_caps(
+            self, np.asarray(nr).reshape(ndev, -1),
+            np.asarray(st).reshape(ndev, -1),
+        )
+        self.gcap = calibrated_block_cap(int(np.asarray(ng).max()), 128)
+        self.bxcap = calibrated_block_cap(int(np.asarray(nbx).max()), 64)
+        self.bycap = calibrated_block_cap(int(np.asarray(nby).max()), 64)
+        self._fix_row_layout()
+        self._init_host_state(*self._xv_init)
+
     def run(self, ntimes: Optional[int] = None,
             _retry: int = 6) -> Domain2DResult:
-        p = self.params
-        ntimes = p.ntimes if ntimes is None else ntimes
+        ntimes = self.params.ntimes if ntimes is None else ntimes
+        self._calibrate(ntimes)
+        return self._run_raw(ntimes, _retry=_retry)
+
+    def _run_raw(self, ntimes: int, _retry: int = 6) -> Domain2DResult:
         run_fn = self._make_run_fn(ntimes)
         # AOT-compile outside the timed region (same wall-clock protocol
         # as the single-chip engines)
@@ -587,17 +658,19 @@ class Domain2DSimulation:
             _ = float(jnp.ravel(warm[-1])[0])
             del warm
         t0 = time.perf_counter()
-        nloc, ovf, temps = run_fn(self.x0, self.v0, self.n0)
+        x, v, nloc, ovf, temps = run_fn(self.x0, self.v0, self.n0)
         _fence = float(jnp.ravel(temps)[0])
         total = time.perf_counter() - t0
-        nloc = np.asarray(nloc)
+        nloc_h = np.asarray(nloc)
         ovf = np.asarray(ovf)
         if ovf.any():
             if _retry > 0:
                 self._grow_and_reinit()
-                return self.run(ntimes, _retry=_retry - 1)
+                return self._run_raw(ntimes, _retry=_retry - 1)
             raise RuntimeError("2-D domain capacity overflow")
+        # melted device state for the calibration observe pass
+        self._probe_state = (x, v, nloc)
         return Domain2DResult(
             temps=np.asarray(temps[0, 0]).reshape(-1),
-            nlocal=nloc, overflow=ovf, total_time=total,
+            nlocal=nloc_h, overflow=ovf, total_time=total,
         )

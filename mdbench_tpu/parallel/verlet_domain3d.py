@@ -125,6 +125,10 @@ class Domain3DSimulation:
         )
         self.rcap, self.ccap, self.ucl, self.ubr = 64, 128, 6, 8
         self.zw = 5  # z-run width (unit-column zspan + 2, + drift)
+        # melted-probe calibration tightens the generous initials
+        # before the timed run (parallel/common.apply_rowlist_caps)
+        self._calibrated = False
+        self._probe_state = None
         self._fix_row_layout()
         # bin capacity: 2.5x the mean — FCC lattice planes alias against
         # the bin boundaries, so some bins run well above the mean and the
@@ -282,7 +286,7 @@ class Domain3DSimulation:
 
         return resort_by_cell(self.grid, x, v, nloc, self.acap)
 
-    def _reneighbor_dev(self, x, v, nloc):
+    def _reneighbor_dev(self, x, v, nloc, with_stats: bool = False):
         ovf_m = jnp.asarray(False)
         for d in range(3):
             x, v, nloc, o = self._migrate_axis(x, v, nloc, d)
@@ -297,10 +301,11 @@ class Domain3DSimulation:
             x = self._exchange_axis(x, d, ml, mr)
             maps.append((ml, mr))
         cl = build_cells(self.grid, x)
+        stats = None
         if self._rowlist:
             from mdbench_tpu.state import NeighborList
 
-            rows, numrows, _nc, rovf = derive_rowlists_from_cells(
+            rows, numrows, stats, rovf = derive_rowlists_from_cells(
                 self.grid, cl, x, nloc, self.acap, self.rcap,
                 self.params.cutneigh, brcap=self.ubr, ucol=self.ucl, zw=self.zw,
                 ccap=self.ccap,
@@ -315,6 +320,8 @@ class Domain3DSimulation:
                 self.acap, self.acap, self.maxneighs, half=False,
             )
         ovf = jnp.stack([ovf_m, ovf_b, cl.overflow, nlist.overflow])
+        if with_stats:
+            return x, v, nloc, maps, nlist, ovf, stats
         return x, v, nloc, maps, nlist, ovf
 
     def _refresh_ghosts(self, x, maps):
@@ -448,6 +455,8 @@ class Domain3DSimulation:
             carry = (x, v, f, nloc, maps, nlist, jnp.any(ovf0))
             carry, temps = jax.lax.scan(interval, carry, None, length=n_int)
             return (
+                carry[0][None, None, None],
+                carry[1][None, None, None],
                 carry[3][None, None, None],
                 carry[6][None, None, None],
                 temps.reshape(1, 1, 1, -1),
@@ -457,7 +466,7 @@ class Domain3DSimulation:
         sharded = jax.shard_map(
             dev_body, mesh=self.mesh,
             in_specs=(spec, spec, spec),
-            out_specs=(spec, spec, spec),
+            out_specs=(spec,) * 5,
             check_vma=False,
         )
         return jax.jit(sharded)
@@ -479,10 +488,69 @@ class Domain3DSimulation:
         )
         self._init_host_state(*self._xv_init)
 
+    def _calibrate(self, ntimes: int, _retry: int = 4) -> None:
+        """One-shot melted-probe cap calibration — same protocol as the
+        1-D/2-D engines, cap-setting shared via parallel/common. The
+        brick's three staged face-export caps are calibrated from the
+        observed non-sentinel export-map occupancy per axis."""
+        if self._calibrated or not self._rowlist:
+            return
+        self._calibrated = True
+        every = self.params.reneigh_every
+        if ntimes < every:
+            return
+        self._run_raw(every, _retry=_retry)
+        xs, vs, nlocs = self._probe_state
+        spec = P(*AXES)
+        sent = self.nrows - 1
+
+        def observe_dev(x, v, nloc):
+            out = self._reneighbor_dev(
+                x[0, 0, 0], v[0, 0, 0], nloc[0, 0, 0], with_stats=True
+            )
+            maps, nlist, stats = out[3], out[4], out[6]
+            nbs = [
+                jnp.maximum(
+                    jnp.sum(ml != sent), jnp.sum(mr != sent)
+                ).astype(jnp.int32)[None, None, None]
+                for ml, mr in maps
+            ]
+            return (
+                nlist.numneigh[None, None, None],
+                stats[None, None, None],
+                *nbs,
+            )
+
+        obs = jax.jit(jax.shard_map(
+            observe_dev, mesh=self.mesh,
+            in_specs=(spec, spec, spec), out_specs=(spec,) * 5,
+            check_vma=False,
+        ))
+        nr, st, nb0, nb1, nb2 = obs(xs, vs, nlocs)
+        from mdbench_tpu.parallel.common import (
+            apply_rowlist_caps,
+            calibrated_block_cap,
+        )
+
+        ndev = int(np.prod(self.pdims))
+        apply_rowlist_caps(
+            self, np.asarray(nr).reshape(ndev, -1),
+            np.asarray(st).reshape(ndev, -1),
+        )
+        self.bcap = [
+            calibrated_block_cap(int(np.asarray(nb).max()), 64)
+            for nb in (nb0, nb1, nb2)
+        ]
+        self._fix_row_layout()
+        self._init_host_state(*self._xv_init)
+
     def run(self, ntimes: Optional[int] = None,
             _retry: int = 6) -> Domain3DResult:
-        p = self.params
-        ntimes = p.ntimes if ntimes is None else ntimes
+        ntimes = self.params.ntimes if ntimes is None else ntimes
+        self._calibrate(ntimes)
+        return self._run_raw(ntimes, _retry=_retry)
+
+    def _run_raw(self, ntimes: int, _retry: int = 6) -> Domain3DResult:
         run_fn = self._make_run_fn(ntimes)
         # AOT-compile outside the timed region (same wall-clock protocol
         # as the single-chip engines)
@@ -494,17 +562,19 @@ class Domain3DSimulation:
             _ = float(jnp.ravel(warm[-1])[0])
             del warm
         t0 = time.perf_counter()
-        nloc, ovf, temps = run_fn(self.x0, self.v0, self.n0)
+        x, v, nloc, ovf, temps = run_fn(self.x0, self.v0, self.n0)
         _fence = float(jnp.ravel(temps)[0])
         total = time.perf_counter() - t0
-        nloc = np.asarray(nloc)
+        nloc_h = np.asarray(nloc)
         ovf = np.asarray(ovf)
         if ovf.any():
             if _retry > 0:
                 self._grow_and_reinit()
-                return self.run(ntimes, _retry=_retry - 1)
+                return self._run_raw(ntimes, _retry=_retry - 1)
             raise RuntimeError("3-D domain capacity overflow")
+        # melted device state for the calibration observe pass
+        self._probe_state = (x, v, nloc)
         return Domain3DResult(
             temps=np.asarray(temps[0, 0, 0]).reshape(-1),
-            nlocal=nloc, overflow=ovf, total_time=total,
+            nlocal=nloc_h, overflow=ovf, total_time=total,
         )

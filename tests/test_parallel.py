@@ -347,3 +347,50 @@ def test_domain3d_rowlist_matches_single_device():
     np.testing.assert_allclose(
         out.temps, out_single.temps, rtol=1e-6, atol=1e-10
     )
+
+
+def test_domain_run_chunked_overflow_replay():
+    """Mid-run capacity overflow in the DOMAIN engine must grow and
+    REPLAY the failed chunk from the last good boundary — never restart
+    from t=0 (the domain twin of test_run_chunked_overflow_recovery;
+    VERDICT r4 weak #7). rcap is pinned at the cold-lattice maximum so
+    the hot melt forces an overflow at a later rebuild."""
+    from jax.sharding import PartitionSpec as P
+
+    from mdbench_tpu.engine import Simulation
+    from mdbench_tpu.parallel.verlet_domain import DomainSimulation
+
+    ndev = 4
+    if len(jax.devices()) < ndev:
+        pytest.skip("not enough devices")
+    mk = lambda: Params(nx=16, ny=4, nz=4, ntimes=30, reneigh_every=10,
+                        kernel="rowlist", temp=9.0)
+    # oracle = the SAME engine uninterrupted (capacity padding is exact
+    # zeros, so replay-under-grown-caps must reproduce it near-bitwise);
+    # the single-chip cross-check runs at a chaos-widened tolerance
+    oracle = DomainSimulation(mk(), ndev=ndev).run()
+    oracle_s = Simulation(mk()).run()
+
+    dom = DomainSimulation(mk(), ndev=ndev)
+    dom._calibrated = True  # manual pinning replaces the melted probe
+    spec = P("x")
+
+    def obs(x, v, n):
+        out = dom._reneighbor_dev(x[0], v[0], n[0], with_stats=True)
+        return out[6].numneigh[None]
+
+    nr = jax.jit(jax.shard_map(
+        obs, mesh=dom.mesh, in_specs=(spec,) * 3, out_specs=spec,
+        check_vma=False,
+    ))(dom.x0, dom.v0, dom.n0)
+    cold = int(np.asarray(nr).max())
+    dom.rcap = (cold + 7) // 8 * 8  # fits t=0, overflows once melted
+    rcap0 = dom.rcap
+    dom._fix_row_layout()
+    dom._init_host_state(*dom._xv_init)
+
+    out = dom.run_chunked(10, 3)
+    assert dom.rcap > rcap0, "recovery never fired: overflow not forced"
+    np.testing.assert_allclose(out.temps, oracle.temps, rtol=1e-9,
+                               atol=1e-12)
+    np.testing.assert_allclose(out.temps, oracle_s.temps, rtol=1e-4)

